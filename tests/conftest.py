@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on 8 virtual CPU devices.
+
+Multi-device sharding tests follow the standard JAX pattern of faking a mesh
+on CPU (SURVEY.md §4): real TPU hardware is not required for any test. Env
+vars must be set before jax is imported anywhere, so this conftest is
+imported first by pytest.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
