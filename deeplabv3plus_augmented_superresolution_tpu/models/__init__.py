@@ -1,0 +1,21 @@
+from .deeplab import DeepLabConfig, build_model, forward, init_params, head_layer_name
+from .weights import (
+    default_weights_path,
+    load_keras_h5_weights,
+    load_params_npz,
+    save_params_npz,
+    WEIGHTS_URLS,
+)
+
+__all__ = [
+    "DeepLabConfig",
+    "build_model",
+    "forward",
+    "init_params",
+    "head_layer_name",
+    "default_weights_path",
+    "load_keras_h5_weights",
+    "load_params_npz",
+    "save_params_npz",
+    "WEIGHTS_URLS",
+]

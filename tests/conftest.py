@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize registers the TPU plugin at interpreter start and
+# overrides JAX_PLATFORMS, so the env var alone is not enough here.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
