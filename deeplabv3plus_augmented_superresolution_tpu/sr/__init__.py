@@ -1,0 +1,26 @@
+from .optimizer import OptimizerConfig, make_optimizer, make_schedule
+from .solver import (
+    SRConfig,
+    SR_FUNCTIONS,
+    augmented_superresolution,
+    forward_operator,
+    max_superresolution,
+    mean_superresolution,
+    sr_loss,
+)
+from .postprocess import normalize_coefficients, threshold_image
+
+__all__ = [
+    "OptimizerConfig",
+    "make_optimizer",
+    "make_schedule",
+    "SRConfig",
+    "SR_FUNCTIONS",
+    "augmented_superresolution",
+    "forward_operator",
+    "max_superresolution",
+    "mean_superresolution",
+    "sr_loss",
+    "normalize_coefficients",
+    "threshold_image",
+]

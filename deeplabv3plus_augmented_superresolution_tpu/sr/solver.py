@@ -1,0 +1,151 @@
+"""The SR inverse solver: loss + lax.scan optimization loop + max/mean SR.
+
+Rebuilds reference superresolution_scripts/superresolution.py (class
+Superresolution) TPU-first:
+
+  * the 300-iteration Python loop of GradientTape steps
+    (reference superresolution.py:120-135) becomes a single lax.scan inside
+    one jit — no per-iteration host round trips;
+  * the forward operator (tile -> rotate -> translate -> bilinear downsample,
+    reference :59-68) stays two-pass-bilinear for numerical parity, with the
+    downsample running as MXU matmuls (ops/resize.py);
+  * copy-dropout (reference :47-53) is a multiplicative 0/1 weight per copy —
+    static shapes, jit-friendly. The reference draws its mask with NumPy
+    inside @tf.function so it is actually frozen per trace; we draw one mask
+    per solve (strictly more random, same expected objective);
+  * solving a *batch* of images is just vmap over this function, and the
+    num_aug axis can be sharded over the mesh (parallel/).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.gradients import bilateral_tv, total_variation
+from ..ops.resize import resize
+from ..ops.warp import rotate, translate, rotation_transform, translation_transform, compose_transforms, affine_warp
+from .optimizer import OptimizerConfig, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class SRConfig:
+    lambda_df: float = 1.0
+    lambda_tv: float = 0.3
+    lambda_L2: float = 0.7
+    lambda_L1: float = 0.0
+    num_iter: int = 300
+    num_aug: int = 100
+    feature_size: Tuple[int, int] = (128, 128)
+    output_size: Tuple[int, int] = (512, 512)
+    use_BTV: bool = False
+    copy_dropout: float = 0.0
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    fused_warp: bool = False  # single-resample warp (faster, not bit-parity)
+
+
+def forward_operator(target: jnp.ndarray, angles: jnp.ndarray,
+                     shifts: jnp.ndarray, feature_size, fused: bool = False) -> jnp.ndarray:
+    """A(x): warp the HR estimate per copy and downsample to LR.
+
+    target: (1, H, W, 1); returns (N, h, w, 1) matching the LR mask stack.
+    """
+    n = angles.shape[0]
+    batched = jnp.broadcast_to(target, (n,) + target.shape[-3:])
+    if fused:
+        h, w = target.shape[-3], target.shape[-2]
+        tr = compose_transforms(rotation_transform(angles, h, w),
+                                translation_transform(shifts))
+        warped = affine_warp(batched, tr)
+    else:
+        warped = translate(rotate(batched, angles), shifts)
+    return resize(warped, feature_size, method="bilinear")
+
+
+def sr_loss(target: jnp.ndarray, lr_masks: jnp.ndarray, angles: jnp.ndarray,
+            shifts: jnp.ndarray, cfg: SRConfig,
+            copy_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Data fidelity + lambda_tv*TV(+BTV) + lambda_L2*||x||^2 (+ lambda_L1*|x|).
+
+    All reductions are sums (not means) to match the reference's lambda
+    scaling (superresolution.py:71-98).
+    """
+    lr_est = forward_operator(target, angles, shifts, cfg.feature_size,
+                              fused=cfg.fused_warp)
+    sq = jnp.square(lr_est - lr_masks)
+    if copy_weights is not None:
+        sq = sq * copy_weights[:, None, None, None]
+    df = jnp.sum(sq)
+
+    tv = bilateral_tv(target) if cfg.use_BTV else total_variation(target)
+    l2 = jnp.sum(jnp.square(target))
+    loss = cfg.lambda_df * df + cfg.lambda_tv * tv + cfg.lambda_L2 * l2
+    if cfg.lambda_L1 > 0.0:
+        loss = loss + cfg.lambda_L1 * jnp.sum(jnp.abs(target))
+    return loss
+
+
+def _dropout_weights(key: Optional[jax.Array], cfg: SRConfig) -> Optional[jnp.ndarray]:
+    n_drop = int(cfg.num_aug * cfg.copy_dropout)
+    if n_drop == 0 or key is None:
+        return None
+    base = jnp.concatenate([jnp.zeros(n_drop), jnp.ones(cfg.num_aug - n_drop)])
+    return jax.random.permutation(key, base)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
+                              shifts: jnp.ndarray, cfg: SRConfig,
+                              dropout_key: Optional[jax.Array] = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve argmin_x sr_loss by cfg.num_iter optax steps (lax.scan).
+
+    lr_masks: (num_aug, h, w, 1) normalized LR masks; returns
+    ((H, W, 1) HR estimate, final loss). Initialization is the bilinear
+    upsample of the first (identity) copy (reference superresolution.py:112-114).
+    """
+    target = resize(lr_masks[0], cfg.output_size, method="bilinear")[None]
+    copy_weights = _dropout_weights(dropout_key, cfg)
+
+    opt = make_optimizer(cfg.optimizer)
+    opt_state = opt.init(target)
+
+    def step(carry, _):
+        tgt, state = carry
+        loss, grads = jax.value_and_grad(sr_loss)(
+            tgt, lr_masks, angles, shifts, cfg, copy_weights)
+        updates, state = opt.update(grads, state, tgt)
+        tgt = optax.apply_updates(tgt, updates)
+        return (tgt, state), loss
+
+    (target, _), losses = jax.lax.scan(step, (target, opt_state), None,
+                                       length=cfg.num_iter)
+    return target[0], losses[-1]
+
+
+def _inverse_warp_reduce(lr_masks, angles, shifts, cfg: SRConfig, reduce_fn):
+    """Shared body of max/mean SR (reference superresolution.py:139-161):
+    upsample all copies, undo translation then rotation, reduce over copies."""
+    up = resize(lr_masks, cfg.output_size, method="bilinear")
+    up = rotate(translate(up, -shifts), -angles)
+    return reduce_fn(up, axis=0), None
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def max_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
+    return _inverse_warp_reduce(lr_masks, angles, shifts, cfg, jnp.max)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mean_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
+    return _inverse_warp_reduce(lr_masks, angles, shifts, cfg, jnp.mean)
+
+
+SR_FUNCTIONS = {
+    "aug": augmented_superresolution,
+    "max": max_superresolution,
+    "mean": mean_superresolution,
+}
