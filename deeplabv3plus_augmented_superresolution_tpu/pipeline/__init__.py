@@ -1,0 +1,12 @@
+from .augment import create_augmented_copies, make_augmented_copies, sample_augmentations
+from .feature_maps import augmented_feature_maps, compute_augmented_feature_maps
+from .end_to_end import asr_step
+
+__all__ = [
+    "create_augmented_copies",
+    "make_augmented_copies",
+    "sample_augmentations",
+    "augmented_feature_maps",
+    "compute_augmented_feature_maps",
+    "asr_step",
+]

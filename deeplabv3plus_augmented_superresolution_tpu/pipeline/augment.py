@@ -1,0 +1,60 @@
+"""Augmented-copy generation (reference augmentation_utils.py:11-27).
+
+jax.random instead of host NumPy RNG: the (angles, shifts) draw happens
+on-device and the whole tile->rotate->translate batch is one XLA program.
+Copy 0 is always the identity, like the reference. Bit-parity with
+np.random.uniform streams is neither possible nor required (SURVEY.md §7);
+parity targets are mask/IoU level.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import rotate, translate
+
+
+def sample_augmentations(key: jax.Array, num_aug: int, angle_max: float,
+                         shift_max: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform angles in ±angle_max (rad), shifts in ±shift_max (px, 2D);
+    first sample forced to identity."""
+    k_angle, k_shift = jax.random.split(key)
+    angles = jax.random.uniform(k_angle, (num_aug,), jnp.float32,
+                                -angle_max, angle_max)
+    shifts = jax.random.uniform(k_shift, (num_aug, 2), jnp.float32,
+                                -shift_max, shift_max)
+    angles = angles.at[0].set(0.0)
+    shifts = shifts.at[0].set(0.0)
+    return angles, shifts
+
+
+@partial(jax.jit, static_argnames=("num_aug", "warp_impl", "angle_max"))
+def make_augmented_copies(image: jnp.ndarray, angles: jnp.ndarray,
+                          shifts: jnp.ndarray, num_aug: int,
+                          warp_impl: str = "shear",
+                          angle_max: float = 0.35) -> jnp.ndarray:
+    """(H, W, C) image -> (num_aug, H, W, C) rotated+translated copies.
+
+    warp_impl "shear" (default) is the gather-free TPU-fast path;
+    "gather" reproduces the reference's two-pass tfa warp bit-for-bit
+    (CPU parity tests only — XLA gathers are pathologically slow on TPU).
+    """
+    batched = jnp.broadcast_to(image[None], (num_aug,) + image.shape)
+    if warp_impl == "shear":
+        from ..ops.shear_warp import paeth_rotate_translate
+        return paeth_rotate_translate(batched, angles, shifts, angle_max)
+    return translate(rotate(batched, angles), shifts)
+
+
+def create_augmented_copies(image: jnp.ndarray, num_aug: int, angle_max: float,
+                            shift_max: float, key: jax.Array,
+                            warp_impl: str = "shear"):
+    """Reference create_augmented_copies signature, returning
+    (copies, angles, shifts)."""
+    angles, shifts = sample_augmentations(key, num_aug, angle_max, shift_max)
+    copies = make_augmented_copies(image, angles, shifts, num_aug,
+                                   warp_impl=warp_impl,
+                                   angle_max=max(angle_max, 1e-3))
+    return copies, angles, shifts

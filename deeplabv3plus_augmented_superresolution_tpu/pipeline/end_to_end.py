@@ -1,0 +1,84 @@
+"""The flagship fused ASR program: one jitted step per image.
+
+Composes what the reference runs as three staged scripts
+(generate_augmented_copies -> hdf5 -> SR_single_class, plus
+generate_standard_output) into a single on-device XLA program:
+
+  image -> N augmented copies -> DeepLabV3+ forward -> OPM masks
+        -> normalize -> {aug | max | mean} SR solve -> threshold
+plus the "standard" baseline mask (the plain model's upsampled argmax,
+reference generate_standard_output.py:15-98) from the same forward pass of
+the identity copy — the reference recomputes it with a second model build.
+"""
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.deeplab import DeepLabConfig, forward
+from ..ops.opm import extract_masks, prepare_sr_inputs
+from ..ops.resize import resize
+from ..sr.postprocess import threshold_image
+from ..sr.solver import (
+    SRConfig,
+    augmented_superresolution,
+    max_superresolution,
+    mean_superresolution,
+)
+from .augment import make_augmented_copies
+
+_SR_FNS = {
+    "aug": augmented_superresolution,
+    "max": max_superresolution,
+    "mean": mean_superresolution,
+}
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_id", "mode",
+                                   "th_factor", "global_normalize", "sr_types",
+                                   "chunk_size"))
+def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
+             shifts: jnp.ndarray, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
+             class_id: int, mode: str = "argmax", th_factor: float = 0.15,
+             global_normalize: bool = True,
+             sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
+             chunk_size: int = 0,
+             dropout_key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Full ASR for one image. Returns thresholded HR masks per SR type plus
+    the 'standard' baseline mask, all (H, W, 1) float32 with values
+    {0, class_id}."""
+    num_aug = sr_cfg.num_aug
+    copies = make_augmented_copies(image, angles, shifts, num_aug,
+                                   warp_impl=sr_cfg.warp_impl,
+                                   angle_max=sr_cfg.angle_max)
+
+    if chunk_size and num_aug > chunk_size and num_aug % chunk_size == 0:
+        chunks = copies.reshape((num_aug // chunk_size, chunk_size) + copies.shape[1:])
+        preds = jax.lax.map(lambda c: forward(params, c, model_cfg), chunks)
+        preds = preds.reshape((num_aug,) + preds.shape[2:])
+    else:
+        preds = forward(params, copies, model_cfg)
+
+    class_masks, max_masks = extract_masks(preds, class_id, mode)
+    class_masks, max_masks = prepare_sr_inputs(class_masks, max_masks, mode,
+                                               global_normalize)
+
+    results: Dict[str, jnp.ndarray] = {}
+    for sr_type in sr_types:
+        fn = _SR_FNS[sr_type]
+        kwargs = {"dropout_key": dropout_key} if sr_type == "aug" else {}
+        target_class, _ = fn(class_masks, angles, shifts, sr_cfg, **kwargs)
+        if mode == "slice_max" and max_masks is not None:
+            target_max, _ = fn(max_masks, angles, shifts, sr_cfg, **kwargs)
+            th = threshold_image(target_class, class_id, th_mask=target_max)
+        else:
+            th = threshold_image(target_class, class_id, th_factor=th_factor)
+        results[sr_type] = th.astype(jnp.float32)
+
+    # Standard baseline from the identity copy's logits (copy 0).
+    hr_logits = resize(preds[0], model_cfg.input_shape[:2], method="bilinear")
+    standard = jnp.argmax(hr_logits, axis=-1)[..., None]
+    results["standard"] = jnp.where(standard == class_id, standard, 0).astype(jnp.float32)
+    return results

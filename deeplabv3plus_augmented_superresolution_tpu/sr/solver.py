@@ -44,24 +44,43 @@ class SRConfig:
     use_BTV: bool = False
     copy_dropout: float = 0.0
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
-    fused_warp: bool = False  # single-resample warp (faster, not bit-parity)
+    # --- TPU performance knobs -------------------------------------------
+    # warp_impl: "shear" = gather-free Paeth shear warp (TPU-fast; default);
+    #            "gather" = exact tfa-semantics bilinear warp (XLA gathers:
+    #            correct everywhere, catastrophically slow on TPU — use for
+    #            CPU parity runs only).
+    # Note: the warp must happen at HR before the downsample — warping after
+    # D would make all copies constrain the same D(x) and destroy the
+    # sub-pixel diversity super-resolution depends on (see
+    # tests/test_solver.py history: an "lr operator" shortcut capped IoU at
+    # the plain-upsample baseline).
+    warp_impl: str = "shear"
+    # static bound on |angles|, kept for configuration introspection
+    angle_max: float = 0.35
+
+
+def _warp_batch(images: jnp.ndarray, angles: jnp.ndarray, shifts: jnp.ndarray,
+                cfg: SRConfig) -> jnp.ndarray:
+    if cfg.warp_impl == "shear":
+        from ..ops.shear_warp import paeth_rotate_translate
+        return paeth_rotate_translate(images, angles, shifts, cfg.angle_max)
+    return translate(rotate(images, angles), shifts)
 
 
 def forward_operator(target: jnp.ndarray, angles: jnp.ndarray,
-                     shifts: jnp.ndarray, feature_size, fused: bool = False) -> jnp.ndarray:
-    """A(x): warp the HR estimate per copy and downsample to LR.
+                     shifts: jnp.ndarray, feature_size,
+                     cfg: Optional[SRConfig] = None) -> jnp.ndarray:
+    """A(x): per-copy warp of the HR estimate + bilinear downsample
+    (reference superresolution.py:59-68).
 
     target: (1, H, W, 1); returns (N, h, w, 1) matching the LR mask stack.
     """
+    if cfg is None:
+        cfg = SRConfig(feature_size=tuple(feature_size),
+                       output_size=target.shape[-3:-1], warp_impl="gather")
     n = angles.shape[0]
     batched = jnp.broadcast_to(target, (n,) + target.shape[-3:])
-    if fused:
-        h, w = target.shape[-3], target.shape[-2]
-        tr = compose_transforms(rotation_transform(angles, h, w),
-                                translation_transform(shifts))
-        warped = affine_warp(batched, tr)
-    else:
-        warped = translate(rotate(batched, angles), shifts)
+    warped = _warp_batch(batched, angles, shifts, cfg)
     return resize(warped, feature_size, method="bilinear")
 
 
@@ -73,8 +92,7 @@ def sr_loss(target: jnp.ndarray, lr_masks: jnp.ndarray, angles: jnp.ndarray,
     All reductions are sums (not means) to match the reference's lambda
     scaling (superresolution.py:71-98).
     """
-    lr_est = forward_operator(target, angles, shifts, cfg.feature_size,
-                              fused=cfg.fused_warp)
+    lr_est = forward_operator(target, angles, shifts, cfg.feature_size, cfg)
     sq = jnp.square(lr_est - lr_masks)
     if copy_weights is not None:
         sq = sq * copy_weights[:, None, None, None]
@@ -130,7 +148,11 @@ def _inverse_warp_reduce(lr_masks, angles, shifts, cfg: SRConfig, reduce_fn):
     """Shared body of max/mean SR (reference superresolution.py:139-161):
     upsample all copies, undo translation then rotation, reduce over copies."""
     up = resize(lr_masks, cfg.output_size, method="bilinear")
-    up = rotate(translate(up, -shifts), -angles)
+    if cfg.warp_impl == "shear":
+        from ..ops.shear_warp import paeth_inverse_rotate_translate
+        up = paeth_inverse_rotate_translate(up, angles, shifts, cfg.angle_max)
+    else:
+        up = rotate(translate(up, -shifts), -angles)
     return reduce_fn(up, axis=0), None
 
 
