@@ -1,20 +1,25 @@
 """Gather-free affine warp: rotation+translation as three shear passes.
 
-Why this exists: XLA lowers per-element gathers/scatters catastrophically on
-TPU — a single fwd+bwd of the reference's rotate+translate on a
-(100, 512, 512, 1) batch measured ~5.3 s on a v5e chip, which makes the
-300-iteration SR solve (reference superresolution.py:120-135) unrunnable.
-This module reformulates the warp:
+Why this exists: XLA lowers gathers/scatters catastrophically on TPU — a
+single fwd+bwd of the reference's rotate+translate on a (100, 512, 512, 1)
+batch measured ~5.3 s on a v5e chip (and even row-contiguous slice gathers
+run at <1 GB/s), which makes the 300-iteration SR solve (reference
+superresolution.py:120-135) unrunnable. This module reformulates the warp:
 
   R(theta) = Sx(-tan(theta/2)) . Sy(sin theta) . Sx(-tan(theta/2))   (Paeth)
 
 with the translation folded into the shear offsets. A shear shifts each row
-by a constant fractional amount, which is one *row-contiguous* dynamic slice
-plus a 2-tap lerp — a memory pattern XLA lowers to near-roofline on TPU
-(measured 0.04 ms for a (100, 512, 512) pass vs 259 ms for its autodiff
-scatter). The adjoint of a constant-per-row fractional shift is the shift by
-the negated amount, so the backward pass is defined via jax.custom_vjp as
-another row-slice shear: no scatter anywhere.
+by a constant fractional amount; we evaluate it with a *two-level tap blend*
+over statically-shifted views — a coarse level in strides of _COARSE pixels
+and a fine level covering the remainder plus the bilinear fraction:
+
+  out = sum_q m_q(n,y) * sum_d w_d(n,y) * slab[..., q*_COARSE + d : ... + W]
+
+Every slice is static, so the whole pass is dense pads/slices/FMAs that XLA
+fuses and the VPU streams; tap count is K/_COARSE + _COARSE + 1 instead of K.
+The adjoint of a constant-per-row fractional shift is the shift by the
+negated amount, so backward is the same dense pass via jax.custom_vjp: no
+scatter anywhere.
 
 Numerics differ from the two-resample tfa path at the interpolation level
 (three 1-D lerps vs two 2-D bilerps); masks/IoU agree — see
@@ -29,84 +34,113 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# Static half-width of the zero padding around the x axis of a shear pass.
-# Bounds the representable |shift| per row; shifts beyond it clamp (the
-# content is fully out of frame for the workload's parameter ranges anyway).
+# Static budget on |shift| per row (pixels): covers the workload's ranges
+# (|tan(a/2)|*H/2 + |translation| for 512-px images, angles to ~0.7 rad,
+# shifts to ~120 px). Shifts beyond it clamp to the budget edge, where the
+# content is fully out of frame anyway.
 _PAD = 256
+_COARSE = 8
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def _shear_rows(images: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _shear_rows(images: jnp.ndarray, s: jnp.ndarray, span: int) -> jnp.ndarray:
     """out[n, y, x, c] = lerp(images[n, y, x + s(n,y)]), zero fill.
 
-    images: (N, H, W, C); s: (N, H) per-row shifts (sample coordinate offset).
+    images: (N, H, W, C); s: (N, H) per-row shifts (sample coordinate
+    offsets); span: static bound on (max_y s - min_y s) per copy — the
+    row-to-row shift variation (the per-copy constant part is handled by one
+    dynamic whole-plane slice and is budgeted by _PAD).
     """
-    return _shear_rows_impl(images, s)
+    return _shear_rows_impl(images, s, span)
 
 
-def _shear_rows_impl(images: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+def _shear_rows_impl(images: jnp.ndarray, s: jnp.ndarray, span: int) -> jnp.ndarray:
     n, h, w, c = images.shape
-    f = jnp.floor(s)
-    t = (s - f).astype(images.dtype)[..., None, None]          # (N, H, 1, 1)
-    starts = jnp.clip(f.astype(jnp.int32) + _PAD, 0, 2 * _PAD - 1)
-    padded = jnp.pad(images, ((0, 0), (0, 0), (_PAD, _PAD), (0, 0)))
+    dtype = images.dtype
+    n_coarse = int(math.ceil((span + _COARSE + 2) / _COARSE)) + 1
+    s = jnp.clip(s, -_PAD + 1, _PAD - 2)
+    # Per-copy rebase so the static tap levels only span this copy's
+    # row-to-row variation (the translation component is constant per copy).
+    base = jnp.floor(s.min(axis=1, keepdims=True) / _COARSE) * _COARSE  # (N,1)
+    r = s - base                                   # in [0, span + _COARSE)
 
-    def row_slice(row, st):                                     # (Wp, C), ()
-        return jax.lax.dynamic_slice(row, (st, 0), (w + 1, c))
+    q = jnp.floor(r / _COARSE).astype(jnp.int32)                # coarse index
+    rem = r - q.astype(jnp.float32) * _COARSE                   # [0, _COARSE)
+    d = jnp.floor(rem).astype(jnp.int32)                        # fine index
+    t = (rem - d.astype(jnp.float32)).astype(dtype)             # fraction
 
-    sl = jax.vmap(jax.vmap(row_slice))(padded, starts)          # (N, H, W+1, C)
-    return (1.0 - t) * sl[:, :, :w] + t * sl[:, :, 1:]
+    base_i = base.astype(jnp.int32) + _PAD                      # (N, 1)
+    slab_w = w + (n_coarse - 1) * _COARSE + _COARSE + 2
+    padded = jnp.pad(images, ((0, 0), (0, 0), (_PAD, _PAD + slab_w - w), (0, 0)))
+    # One dynamic, per-copy, whole-plane slice (N slices only — cheap), then
+    # purely static taps.
+    slab = jax.vmap(
+        lambda img, b: jax.lax.dynamic_slice_in_dim(img, b[0], slab_w, axis=1)
+    )(padded, base_i)                                           # (N,H,slab_w,C)
+
+    # Fine level: 2-tap lerp folded into (_COARSE+1) static-shift weights.
+    fine_w = w + (n_coarse - 1) * _COARSE
+    fine = jnp.zeros((n, h, fine_w, c), dtype)
+    for k in range(_COARSE + 1):
+        wk = jnp.where(d == k, 1.0 - t, 0.0) + jnp.where(d == k - 1, t, 0.0)
+        fine = fine + wk[..., None, None] * slab[:, :, k:k + fine_w]
+
+    # Coarse level: select the right _COARSE-strided window per row.
+    out = jnp.zeros((n, h, w, c), dtype)
+    for qi in range(n_coarse):
+        mq = (q == qi).astype(dtype)[..., None, None]
+        out = out + mq * fine[:, :, qi * _COARSE: qi * _COARSE + w]
+    return out
 
 
-def _shear_rows_fwd(images, s):
-    return _shear_rows_impl(images, s), (s,)
+def _shear_rows_fwd(images, s, span):
+    return _shear_rows_impl(images, s, span), (s,)
 
 
-def _shear_rows_bwd(res, g):
+def _shear_rows_bwd(span, res, g):
     (s,) = res
     # Adjoint of the constant-per-row 2-tap shift T(s) is T(-s): for
     # out[x] = (1-t) in[x+f] + t in[x+f+1], the transpose scatters each
     # cotangent with the same weights, which re-reads as a shift by -s.
-    return _shear_rows_impl(g, -s), jnp.zeros_like(s)
+    return _shear_rows_impl(g, -s, span), jnp.zeros_like(s)
 
 
 _shear_rows.defvjp(_shear_rows_fwd, _shear_rows_bwd)
 
 
 def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float) -> jnp.ndarray:
+                  center: float, span: int) -> jnp.ndarray:
     """Row shift s(n, y) = coef[n] * (y - center) + offset[n]."""
     h = images.shape[1]
     y = jnp.arange(h, dtype=jnp.float32)
     s = coef[:, None] * (y[None, :] - center) + offset[:, None]
-    return _shear_rows(images, jax.lax.stop_gradient(s))
+    return _shear_rows(images, jax.lax.stop_gradient(s), span)
 
 
 def _shear_pass_y(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float) -> jnp.ndarray:
+                  center: float, span: int) -> jnp.ndarray:
     swapped = jnp.swapaxes(images, 1, 2)
-    out = _shear_pass_x(swapped, coef, offset, center)
+    out = _shear_pass_x(swapped, coef, offset, center, span)
     return jnp.swapaxes(out, 1, 2)
 
 
 def shear_taps(angle_max: float, size: int) -> int:
-    """Static bound on a shear pass's row-shift range for |angle|<=angle_max
-    (kept for introspection; the row-slice formulation needs no tap loop)."""
+    """Static bound on a shear pass's row-shift variation (span) for
+    |angle| <= angle_max on a size-px axis."""
     coef = max(abs(math.tan(angle_max / 2.0)), abs(math.sin(angle_max)))
     return int(math.ceil(coef * size)) + 3
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("angle_max",))
 def paeth_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
                            shifts: jnp.ndarray,
-                           angle_max: float = 0.0) -> jnp.ndarray:
+                           angle_max: float = 0.35) -> jnp.ndarray:
     """tfa-style rotate(angles) followed by translate(shifts), as shears.
 
     images: (N, H, W) or (N, H, W, C); angles (N,) rad CCW; shifts (N, 2)
-    as (dx, dy) pixels. angle_max is accepted for API stability but unused
-    (the row-slice formulation has a fixed static shift budget of _PAD px).
+    as (dx, dy) pixels. angle_max is a STATIC bound on |angles| sizing the
+    static tap windows (larger is correct but slower).
     """
-    del angle_max
     squeeze = images.ndim == 3
     if squeeze:
         images = images[..., None]
@@ -137,16 +171,19 @@ def paeth_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
     off_b = ty + b * cx
     off_c = a * cy
 
-    out = _shear_pass_x(images, a, off_a, cy)
-    out = _shear_pass_y(out, b, off_b, cx)
-    out = _shear_pass_x(out, a, off_c, cy)
+    span_x = shear_taps(angle_max if angle_max > 0 else 1e-3, h)
+    span_y = shear_taps(angle_max if angle_max > 0 else 1e-3, w)
+
+    out = _shear_pass_x(images, a, off_a, cy, span_x)
+    out = _shear_pass_y(out, b, off_b, cx, span_y)
+    out = _shear_pass_x(out, a, off_c, cy, span_x)
     return out[..., 0] if squeeze else out
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("angle_max",))
 def paeth_inverse_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
                                    shifts: jnp.ndarray,
-                                   angle_max: float = 0.0) -> jnp.ndarray:
+                                   angle_max: float = 0.35) -> jnp.ndarray:
     """Inverse warp translate(-shifts) then rotate(-angles), i.e. the max/mean
     SR un-augmentation path (reference superresolution.py:139-161).
 
@@ -161,4 +198,4 @@ def paeth_inverse_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
     sin = jnp.sin(angles)
     dx, dy = shifts[:, 0], shifts[:, 1]
     rot_d = jnp.stack([cos * dx - sin * dy, sin * dx + cos * dy], axis=-1)
-    return paeth_rotate_translate(images, -angles, -rot_d)
+    return paeth_rotate_translate(images, -angles, -rot_d, angle_max)

@@ -1,0 +1,63 @@
+"""Sharded batch ASR: the multi-chip pipeline.
+
+Batches images over the "data" mesh axis and each image's augmented copies
+over "aug". One jitted program covers copies -> forward -> OPM -> SR solve ->
+threshold for the whole batch; XLA inserts the ICI collectives implied by the
+sharding annotations (the data-fidelity sum over copies inside the solver's
+grad becomes a psum over "aug").
+
+The reference has no distributed path at all (SURVEY.md §2 row
+"Parallelism"); this module is the new-by-design scaling component.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.deeplab import DeepLabConfig
+from ..pipeline.end_to_end import asr_step
+from ..sr.solver import SRConfig
+from .mesh import make_mesh
+
+
+def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
+                      class_id: int, mode: str = "argmax",
+                      th_factor: float = 0.15,
+                      sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
+                      chunk_size: int = 0):
+    """Returns a jitted fn(params, images, angles, shifts) -> dict of masks.
+
+    images: (B, H, W, 3) sharded on "data";
+    angles: (B, N), shifts: (B, N, 2) sharded on ("data", "aug");
+    outputs: (B, H, W, 1) per SR type, sharded on "data".
+    """
+
+    def batch_fn(params, images, angles, shifts):
+        def per_image(image, a, s):
+            return asr_step(params, image, a, s, model_cfg, sr_cfg, class_id,
+                            mode, th_factor, True, sr_types, chunk_size)
+
+        return jax.vmap(per_image)(images, angles, shifts)
+
+    in_shardings = (
+        NamedSharding(mesh, P()),                     # params replicated
+        NamedSharding(mesh, P("data")),               # images
+        NamedSharding(mesh, P("data", "aug")),        # angles
+        NamedSharding(mesh, P("data", "aug")),        # shifts
+    )
+    out_shardings = NamedSharding(mesh, P("data"))
+    return jax.jit(batch_fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def shard_batch(mesh: Mesh, params, images, angles, shifts):
+    """Device-put a host batch with the canonical shardings."""
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    images = jax.device_put(images, NamedSharding(mesh, P("data")))
+    angles = jax.device_put(angles, NamedSharding(mesh, P("data", "aug")))
+    shifts = jax.device_put(shifts, NamedSharding(mesh, P("data", "aug")))
+    return params, images, angles, shifts

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the 8-device fake-CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deeplabv3plus_augmented_superresolution_tpu.models import DeepLabConfig, build_model
+from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+    make_asr_batch_fn,
+    make_mesh,
+    shard_batch,
+)
+from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+    asr_step,
+    sample_augmentations,
+)
+from deeplabv3plus_augmented_superresolution_tpu.sr import OptimizerConfig, SRConfig
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), backbone="mobilenet",
+                        final_upsample=False)
+    params, _ = build_model(cfg, seed=0)
+    sr_cfg = SRConfig(num_iter=4, num_aug=8, feature_size=(8, 8),
+                      output_size=(64, 64), angle_max=0.2,
+                      optimizer=OptimizerConfig(learning_rate=1e-2))
+    return cfg, params, sr_cfg
+
+
+def test_mesh_construction():
+    mesh = make_mesh(shape=(2, 4))
+    assert mesh.shape == {"data": 2, "aug": 4}
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 1, "aug": 8}
+    with pytest.raises(ValueError):
+        make_mesh(shape=(3, 3))
+
+
+def test_sharded_batch_asr_runs_and_matches_single_device(small_setup):
+    cfg, params, sr_cfg = small_setup
+    mesh = make_mesh(shape=(2, 4))
+    batch = 4
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(0), batch)
+    angles = jnp.stack([sample_augmentations(k, 8, 0.2, 4.0)[0] for k in keys])
+    shifts = jnp.stack([sample_augmentations(k, 8, 0.2, 4.0)[1] for k in keys])
+
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, mode="argmax",
+                           th_factor=0.2)
+    p, im, a, s = shard_batch(mesh, params, images, angles, shifts)
+    out = fn(p, im, a, s)
+    assert set(out) == {"aug", "max", "mean", "standard"}
+    for v in out.values():
+        assert v.shape == (batch, 64, 64, 1)
+
+    # Cross-check against the unsharded single-image path.
+    single = asr_step(params, images[1], angles[1], shifts[1], cfg, sr_cfg,
+                      class_id=8, mode="argmax", th_factor=0.2)
+    for k in single:
+        np.testing.assert_allclose(np.asarray(out[k][1]), np.asarray(single[k]),
+                                   atol=2e-2, err_msg=k)
+
+
+def test_aug_axis_only_mesh(small_setup):
+    """All 8 devices on the aug axis (the single-image serving layout)."""
+    cfg, params, sr_cfg = small_setup
+    mesh = make_mesh(shape=(1, 8))
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    a, s = sample_augmentations(jax.random.key(1), 8, 0.2, 4.0)
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, sr_types=("mean",))
+    p, im, a_, s_ = shard_batch(mesh, params, images, a[None], s[None])
+    out = fn(p, im, a_, s_)
+    assert out["mean"].shape == (1, 64, 64, 1)
