@@ -55,8 +55,15 @@ class SRConfig:
     # tests/test_solver.py history: an "lr operator" shortcut capped IoU at
     # the plain-upsample baseline).
     warp_impl: str = "shear"
-    # static bound on |angles|, kept for configuration introspection
+    # static bound on |angles|; sizes the shear-warp tap windows
     angle_max: float = 0.35
+    # stochastic copy minibatching: each iteration warps only sgd_copies
+    # randomly-chosen copies (df term rescaled by num_aug/sgd_copies for an
+    # unbiased gradient). 0 = use all copies every iteration (reference
+    # semantics). The reference's own copy_dropout sweeps showed subsampled
+    # data terms do not hurt IoU (argmax_500_sweep_all best run used
+    # copy_dropout=0.1 — BASELINE.md row "Best sweep-all result").
+    sgd_copies: int = 0
 
 
 def _warp_batch(images: jnp.ndarray, angles: jnp.ndarray, shifts: jnp.ndarray,
@@ -86,17 +93,19 @@ def forward_operator(target: jnp.ndarray, angles: jnp.ndarray,
 
 def sr_loss(target: jnp.ndarray, lr_masks: jnp.ndarray, angles: jnp.ndarray,
             shifts: jnp.ndarray, cfg: SRConfig,
-            copy_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            copy_weights: Optional[jnp.ndarray] = None,
+            df_scale: float = 1.0) -> jnp.ndarray:
     """Data fidelity + lambda_tv*TV(+BTV) + lambda_L2*||x||^2 (+ lambda_L1*|x|).
 
     All reductions are sums (not means) to match the reference's lambda
-    scaling (superresolution.py:71-98).
+    scaling (superresolution.py:71-98). df_scale compensates for copy
+    minibatching so the stochastic gradient stays unbiased.
     """
     lr_est = forward_operator(target, angles, shifts, cfg.feature_size, cfg)
     sq = jnp.square(lr_est - lr_masks)
     if copy_weights is not None:
         sq = sq * copy_weights[:, None, None, None]
-    df = jnp.sum(sq)
+    df = jnp.sum(sq) * df_scale
 
     tv = bilateral_tv(target) if cfg.use_BTV else total_variation(target)
     l2 = jnp.sum(jnp.square(target))
@@ -131,16 +140,31 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     opt = make_optimizer(cfg.optimizer)
     opt_state = opt.init(target)
 
-    def step(carry, _):
+    minibatch = 0 < cfg.sgd_copies < cfg.num_aug
+    base_key = dropout_key if dropout_key is not None else jax.random.key(0)
+
+    def step(carry, it):
         tgt, state = carry
+        if minibatch:
+            idx = jax.random.choice(jax.random.fold_in(base_key, it),
+                                    cfg.num_aug, (cfg.sgd_copies,),
+                                    replace=False)
+            lm = jnp.take(lr_masks, idx, axis=0)
+            an = jnp.take(angles, idx, axis=0)
+            sh = jnp.take(shifts, idx, axis=0)
+            cw = (jnp.take(copy_weights, idx, axis=0)
+                  if copy_weights is not None else None)
+            scale = cfg.num_aug / cfg.sgd_copies
+        else:
+            lm, an, sh, cw, scale = lr_masks, angles, shifts, copy_weights, 1.0
         loss, grads = jax.value_and_grad(sr_loss)(
-            tgt, lr_masks, angles, shifts, cfg, copy_weights)
+            tgt, lm, an, sh, cfg, cw, scale)
         updates, state = opt.update(grads, state, tgt)
         tgt = optax.apply_updates(tgt, updates)
         return (tgt, state), loss
 
-    (target, _), losses = jax.lax.scan(step, (target, opt_state), None,
-                                       length=cfg.num_iter)
+    (target, _), losses = jax.lax.scan(step, (target, opt_state),
+                                       jnp.arange(cfg.num_iter))
     return target[0], losses[-1]
 
 

@@ -179,3 +179,29 @@ def test_threshold_image_modes():
     mask = np.full((2, 2), 0.45, np.float32)
     out = np.asarray(threshold_image(img, 3, th_mask=mask))
     np.testing.assert_array_equal(out, [[0, 3], [3, 0]])
+
+
+def test_sgd_copy_minibatch_recovery():
+    """Stochastic copy minibatching recovers the synthetic mask as well as the
+    full data term (unbiased df gradient, num_aug/sgd_copies rescaled)."""
+    hr, lr, n = 64, 16, 24
+    rng = np.random.default_rng(0)
+    gt = np.zeros((hr, hr, 1), np.float32)
+    gt[20:44, 16:48] = 1.0
+    angles = rng.uniform(-0.25, 0.25, n).astype(np.float32)
+    shifts = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
+    angles[0] = 0.0
+    shifts[0] = 0.0
+    masks = forward_operator(jnp.asarray(gt)[None], jnp.asarray(angles),
+                             jnp.asarray(shifts), (lr, lr))
+    cfg = SRConfig(lambda_df=1.0, lambda_tv=0.05, lambda_L2=0.01,
+                   num_iter=150, num_aug=n, feature_size=(lr, lr),
+                   output_size=(hr, hr), angle_max=0.3, sgd_copies=6,
+                   optimizer=OptimizerConfig(learning_rate=5e-2, amsgrad=True))
+    est, _ = augmented_superresolution(masks, jnp.asarray(angles),
+                                       jnp.asarray(shifts), cfg,
+                                       dropout_key=jax.random.key(7))
+    est_mask = np.asarray(threshold_image(est, 8, th_factor=0.5))
+    iou = float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
+                                 est_mask[..., 0], 8))
+    assert iou > 0.88, f"minibatched recovery IoU {iou}"
