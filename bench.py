@@ -1,0 +1,103 @@
+"""End-to-end ASR benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the reference's headline configuration — one 512x512 image,
+100 augmented copies, argmax OPM, 300-iteration aug SR plus max/mean SR and
+the standard baseline mask, all fused into one jitted program per SR type
+(cf. BASELINE.md: the reference runs 500 images in ~1200-1350 s on its GPU,
+i.e. ~0.392 images/s, with staging I/O excluded from its timing loop).
+
+vs_baseline = our steady-state images/s divided by the reference's 0.392.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Pallas kernels compile through the axon remote-compile helper, which needs
+# these set (harmless elsewhere).
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("TPU_WORKER_ID", "0")
+
+REFERENCE_IMAGES_PER_SEC = 500.0 / 1275.0  # BASELINE.md sweep-runtime rows
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from deeplabv3plus_augmented_superresolution_tpu.data import load_image
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig,
+        build_model,
+        default_weights_path,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        asr_step,
+        sample_augmentations,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        OptimizerConfig,
+        SRConfig,
+    )
+
+    num_aug = int(os.environ.get("BENCH_NUM_AUG", 100))
+    num_iter = int(os.environ.get("BENCH_NUM_ITER", 300))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    model_cfg = DeepLabConfig(input_shape=(512, 512, 3), final_upsample=False,
+                              compute_dtype="bfloat16")
+    weights = default_weights_path("xception")
+    params, _ = build_model(
+        model_cfg, seed=0,
+        weights_path=weights if os.path.exists(weights) else None)
+
+    img_path = "/root/reference/test_images/test_cat.jpg"
+    if not os.path.exists(img_path):
+        img_path = None
+    if img_path:
+        image = load_image(img_path, image_size=(512, 512), normalize=True)
+    else:
+        image = np.random.default_rng(0).uniform(
+            0, 1, (512, 512, 3)).astype(np.float32)
+
+    sr_cfg = SRConfig(
+        lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
+        num_aug=num_aug, feature_size=(128, 128), output_size=(512, 512),
+        angle_max=0.16,
+        optimizer=OptimizerConfig(learning_rate=1e-3, amsgrad=True,
+                                  lr_scheduler=True, decay_steps=60,
+                                  decay_rate=0.3))
+    angles, shifts = sample_augmentations(jax.random.key(1234), num_aug,
+                                          0.15, 80)
+
+    def run():
+        out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
+                       class_id=8, mode="argmax", th_factor=0.2)
+        # Force a real device->host sync (block_until_ready can be a no-op
+        # through the axon tunnel).
+        return {k: float(v.sum()) for k, v in out.items()}
+
+    run()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    images_per_sec = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "asr_e2e_images_per_sec",
+        "value": round(images_per_sec, 4),
+        "unit": f"images/s (512px, {num_aug} copies, {num_iter} iters, aug+max+mean+standard)",
+        "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Augmented Super-Resolution over precomputed hdf5 stacks (reference
+SR_single_class.py): load each staged file, run aug/max/mean SR, compute the
+six IoU variants vs ground truth and the standard baseline, print averages.
+
+Flags replace the reference's edit-in-source constant block
+(SR_single_class.py:22-32); defaults match it.
+"""
+
+import argparse
+import os
+
+from _common import FEATURE_SIZE, IMG_SIZE, SEED, add_sr_args, data_paths, make_sr_config
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--num_aug", type=int, default=100)
+parser.add_argument("--num_samples", type=int, default=500)
+parser.add_argument("--class_id", type=int, default=8, choices=range(21))
+parser.add_argument("--mode", type=str, default="argmax",
+                    choices=["slice_max", "slice", "argmax"])
+parser.add_argument("--backbone", type=str, default="xception",
+                    choices=["mobilenet", "xception"])
+parser.add_argument("--use_validation", action="store_true", default=True)
+parser.add_argument("--no_validation", dest="use_validation", action="store_false")
+parser.add_argument("--th_factor", type=float, default=0.65)
+parser.add_argument("--angle_max", type=float, default=0.5,
+                    help="static bound on generation angles (warp window sizing)")
+parser.add_argument("--save_slice_output", action="store_true")
+parser.add_argument("--save_final_sr_output", action="store_true")
+add_sr_args(parser)
+
+
+def main():
+    args = parser.parse_args()
+    paths = data_paths(args.use_validation, args.backbone, args.mode,
+                       args.class_id, args.num_aug)
+
+    import jax
+    import numpy as np
+    from tqdm import tqdm
+
+    from deeplabv3plus_augmented_superresolution_tpu.data import (
+        list_precomputed_data_paths,
+        load_image,
+        load_sr_data,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import compute_iou
+    from deeplabv3plus_augmented_superresolution_tpu.sr.orchestrate import compute_sr
+
+    sr_cfg = make_sr_config(args, num_aug=args.num_aug)
+
+    path_list = list_precomputed_data_paths(paths["augmented_copies_dir"], sort=True)
+    path_list = path_list[:args.num_samples] if args.num_samples else path_list
+    if not path_list:
+        raise SystemExit(
+            f"No precomputed hdf5 files under {paths['augmented_copies_dir']} — "
+            "run cli/generate_augmented_copies.py first")
+
+    agg = {k: [] for k in ["standard_single", "standard_multiple", "aug_single",
+                           "aug_multiple", "max", "mean"]}
+
+    for filepath in tqdm(path_list):
+        try:
+            class_masks, max_masks, angles, shifts, filename = load_sr_data(
+                filepath, num_aug=args.num_aug, global_normalize=True)
+        except Exception:
+            print(f"File: {filepath} is invalid, skipping...")
+            continue
+
+        true_mask = load_image(
+            os.path.join(paths["pascal_root"], "SegmentationClassAug", f"{filename}.png"),
+            image_size=IMG_SIZE, normalize=False, is_png=True, resize_method="nearest")
+        standard_mask = load_image(
+            os.path.join(paths["standard_output_dir"], f"{filename}.png"),
+            image_size=IMG_SIZE, normalize=False, is_png=True, resize_method="nearest")
+
+        import jax.numpy as jnp
+        angles = jnp.asarray(angles)
+        shifts = jnp.asarray(shifts)
+        results = {}
+        for sr_type in ("aug", "max", "mean"):
+            results[sr_type] = compute_sr(
+                sr_cfg, class_masks, angles, shifts, filename,
+                dest_folder=paths["superres_output_dir"], sr_type=sr_type,
+                max_masks=max_masks,
+                save_intermediate_output=args.save_slice_output,
+                save_final_output=args.save_final_sr_output,
+                class_id=args.class_id, th_factor=args.th_factor,
+                dropout_key=jax.random.key(SEED))
+
+        agg["standard_single"].append(compute_iou(
+            true_mask, standard_mask, img_size=IMG_SIZE, class_id=args.class_id))
+        agg["standard_multiple"].append(compute_iou(
+            true_mask, standard_mask, img_size=IMG_SIZE, class_id=args.class_id,
+            include_bg=True))
+        agg["aug_single"].append(compute_iou(
+            true_mask, results["aug"], img_size=IMG_SIZE, class_id=args.class_id))
+        agg["aug_multiple"].append(compute_iou(
+            true_mask, results["aug"], img_size=IMG_SIZE, class_id=args.class_id,
+            include_bg=True))
+        agg["max"].append(compute_iou(
+            true_mask, results["max"], img_size=IMG_SIZE, class_id=args.class_id))
+        agg["mean"].append(compute_iou(
+            true_mask, results["mean"], img_size=IMG_SIZE, class_id=args.class_id))
+
+    avg = {k: float(np.mean(v)) for k, v in agg.items()}
+    print(f"Avg. Standard IoUs (No bg): {avg['standard_single']},  "
+          f"Avg. Augmented SR IoUs (No bg): {avg['aug_single']}")
+    print(f"Avg. Standard IoUs (with bg): {avg['standard_multiple']},  "
+          f"Avg. Augmented SR IoUs (with bg): {avg['aug_multiple']}")
+    print(f"Avg. Max SR IoUs: {avg['max']}, Avg. Mean SR IoUs: {avg['mean']}")
+    return avg
+
+
+if __name__ == "__main__":
+    main()
