@@ -108,19 +108,48 @@ def _shear_rows_bwd(span, res, g):
 _shear_rows.defvjp(_shear_rows_fwd, _shear_rows_bwd)
 
 
+def _pallas_available() -> bool:
+    import os
+
+    if os.environ.get("DSR_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+_USE_PALLAS = None
+
+
+def _use_pallas() -> bool:
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = _pallas_available()
+    return _USE_PALLAS
+
+
 def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float, span: int) -> jnp.ndarray:
+                  center: float, span: int, n_cand: int) -> jnp.ndarray:
     """Row shift s(n, y) = coef[n] * (y - center) + offset[n]."""
-    h = images.shape[1]
+    n, h, w, c = images.shape
     y = jnp.arange(h, dtype=jnp.float32)
     s = coef[:, None] * (y[None, :] - center) + offset[:, None]
-    return _shear_rows(images, jax.lax.stop_gradient(s), span)
+    s = jax.lax.stop_gradient(s)
+    if _use_pallas() and h % 8 == 0 and w % 8 == 0:
+        from .pallas_shear import shear_rows_pallas
+
+        flat = jnp.moveaxis(images, 3, 1).reshape(n * c, h, w)
+        s_rep = jnp.repeat(s, c, axis=0) if c > 1 else s
+        out = shear_rows_pallas(flat, s_rep, n_cand)
+        return jnp.moveaxis(out.reshape(n, c, h, w), 1, 3)
+    return _shear_rows(images, s, span)
 
 
 def _shear_pass_y(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float, span: int) -> jnp.ndarray:
+                  center: float, span: int, n_cand: int) -> jnp.ndarray:
     swapped = jnp.swapaxes(images, 1, 2)
-    out = _shear_pass_x(swapped, coef, offset, center, span)
+    out = _shear_pass_x(swapped, coef, offset, center, span, n_cand)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -171,12 +200,16 @@ def paeth_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
     off_b = ty + b * cx
     off_c = a * cy
 
-    span_x = shear_taps(angle_max if angle_max > 0 else 1e-3, h)
-    span_y = shear_taps(angle_max if angle_max > 0 else 1e-3, w)
+    am = angle_max if angle_max > 0 else 1e-3
+    span_x = shear_taps(am, h)
+    span_y = shear_taps(am, w)
+    from .pallas_shear import candidates_for
+    coef_max = max(abs(math.tan(am / 2.0)), abs(math.sin(am)))
+    n_cand = candidates_for(coef_max)
 
-    out = _shear_pass_x(images, a, off_a, cy, span_x)
-    out = _shear_pass_y(out, b, off_b, cx, span_y)
-    out = _shear_pass_x(out, a, off_c, cy, span_x)
+    out = _shear_pass_x(images, a, off_a, cy, span_x, n_cand)
+    out = _shear_pass_y(out, b, off_b, cx, span_y, n_cand)
+    out = _shear_pass_x(out, a, off_c, cy, span_x, n_cand)
     return out[..., 0] if squeeze else out
 
 

@@ -57,6 +57,16 @@ class SRConfig:
     warp_impl: str = "shear"
     # static bound on |angles|; sizes the shear-warp tap windows
     angle_max: float = 0.35
+    # operator_impl: "staged" evaluates A(x) as warp-then-resize like the
+    # reference; "fused" computes the identical composition without
+    # materializing HR warped copies (ops/fused_operator.py) — the TPU fast
+    # path for the solve's inner loop.
+    operator_impl: str = "staged"
+    # dtype for the per-copy warp work inside the data-fidelity term; the
+    # target variable, regularizers and Adam state stay float32. bfloat16
+    # halves the solve's VPU/HBM cost at ~0.4% per-warp relative error
+    # (mask-level quality validated in tests).
+    solve_dtype: str = "float32"
     # stochastic copy minibatching: each iteration warps only sgd_copies
     # randomly-chosen copies (df term rescaled by num_aug/sgd_copies for an
     # unbiased gradient). 0 = use all copies every iteration (reference
@@ -85,9 +95,14 @@ def forward_operator(target: jnp.ndarray, angles: jnp.ndarray,
     if cfg is None:
         cfg = SRConfig(feature_size=tuple(feature_size),
                        output_size=target.shape[-3:-1], warp_impl="gather")
+    if cfg.operator_impl == "fused":
+        from ..ops.fused_operator import fused_warp_downsample
+        return fused_warp_downsample(target, angles, shifts,
+                                     tuple(feature_size), cfg.angle_max)
     n = angles.shape[0]
-    batched = jnp.broadcast_to(target, (n,) + target.shape[-3:])
-    warped = _warp_batch(batched, angles, shifts, cfg)
+    dtype = jnp.bfloat16 if cfg.solve_dtype == "bfloat16" else jnp.float32
+    batched = jnp.broadcast_to(target, (n,) + target.shape[-3:]).astype(dtype)
+    warped = _warp_batch(batched, angles, shifts, cfg).astype(jnp.float32)
     return resize(warped, feature_size, method="bilinear")
 
 

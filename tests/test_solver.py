@@ -205,3 +205,28 @@ def test_sgd_copy_minibatch_recovery():
     iou = float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
                                  est_mask[..., 0], 8))
     assert iou > 0.88, f"minibatched recovery IoU {iou}"
+
+
+def test_bf16_solve_recovery():
+    """bfloat16 warp work in the solve keeps mask-level recovery quality."""
+    hr, lr, n = 64, 16, 24
+    rng = np.random.default_rng(0)
+    gt = np.zeros((hr, hr, 1), np.float32)
+    gt[20:44, 16:48] = 1.0
+    angles = rng.uniform(-0.25, 0.25, n).astype(np.float32)
+    shifts = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
+    angles[0] = 0.0
+    shifts[0] = 0.0
+    masks = forward_operator(jnp.asarray(gt)[None], jnp.asarray(angles),
+                             jnp.asarray(shifts), (lr, lr))
+    cfg = SRConfig(lambda_df=1.0, lambda_tv=0.05, lambda_L2=0.01,
+                   num_iter=150, num_aug=n, feature_size=(lr, lr),
+                   output_size=(hr, hr), angle_max=0.3,
+                   solve_dtype="bfloat16",
+                   optimizer=OptimizerConfig(learning_rate=5e-2, amsgrad=True))
+    est, _ = augmented_superresolution(masks, jnp.asarray(angles),
+                                       jnp.asarray(shifts), cfg)
+    est_mask = np.asarray(threshold_image(est, 8, th_factor=0.5))
+    iou = float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
+                                 est_mask[..., 0], 8))
+    assert iou > 0.88, f"bf16 recovery IoU {iou}"
