@@ -46,8 +46,6 @@ def main():
     from deeplabv3plus_augmented_superresolution_tpu.metrics import compute_iou
     from deeplabv3plus_augmented_superresolution_tpu.sr.orchestrate import compute_sr
 
-    sr_cfg = make_sr_config(args, num_aug=args.num_aug)
-
     path_list = list_precomputed_data_paths(paths["augmented_copies_dir"], sort=True)
     path_list = path_list[:args.num_samples] if args.num_samples else path_list
     if not path_list:
@@ -76,6 +74,10 @@ def main():
         import jax.numpy as jnp
         angles = jnp.asarray(angles)
         shifts = jnp.asarray(shifts)
+        # LR feature size comes from the staged masks (128 for xception OS16,
+        # 64 for mobilenet OS8)
+        sr_cfg = make_sr_config(args, num_aug=args.num_aug,
+                                feature_size=tuple(class_masks.shape[1:3]))
         results = {}
         for sr_type in ("aug", "max", "mean"):
             results[sr_type] = compute_sr(

@@ -48,7 +48,11 @@ def main():
 
     model_cfg, params, _ = build_deeplab(args.backbone, final_upsample=False,
                                          weights_path=args.weights_path)
-    sr_cfg = make_sr_config(args, num_aug=args.num_aug, angle_max=args.angle_max)
+    # LR mask resolution: 512/OS16*4 = 128 for xception's decoder output,
+    # 512/OS8 = 64 for mobilenet (no decoder)
+    feature = (64, 64) if args.backbone == "mobilenet" else FEATURE_SIZE
+    sr_cfg = make_sr_config(args, num_aug=args.num_aug, feature_size=feature,
+                            angle_max=args.angle_max)
 
     image = load_image(args.img_path, image_size=IMG_SIZE, normalize=True)
     gt_mask = load_image(args.gt_path, image_size=IMG_SIZE, normalize=False,

@@ -48,8 +48,6 @@ def main():
         threshold_image,
     )
 
-    sr_cfg = make_sr_config(args, num_aug=args.num_aug)
-
     path_list = list_precomputed_data_paths(paths["augmented_copies_dir"], sort=True)
     path_list = path_list[:args.num_samples] if args.num_samples else path_list
     if not path_list:
@@ -73,6 +71,8 @@ def main():
             image_size=IMG_SIZE, normalize=False, is_png=True,
             resize_method="nearest")
 
+        sr_cfg = make_sr_config(args, num_aug=args.num_aug,
+                                feature_size=tuple(class_masks.shape[1:3]))
         target, _ = augmented_superresolution(
             jnp.asarray(class_masks), jnp.asarray(angles), jnp.asarray(shifts),
             sr_cfg, dropout_key=jax.random.key(SEED))

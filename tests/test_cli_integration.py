@@ -1,0 +1,91 @@
+"""End-to-end CLI integration: fake VOC -> generate_augmented_copies ->
+generate_standard_output -> SR_single_class, via real subprocesses (CPU).
+
+This is the pipeline the reference documents in its README (precompute then
+solve); the test checks the CLIs compose through the shared directory
+contract with random weights.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = os.path.join(REPO, "cli")
+
+
+@pytest.fixture(scope="module")
+def fake_voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("workdir")
+    voc = root / "data" / "dataset_root" / "VOCdevkit" / "VOC2012"
+    (voc / "JPEGImages").mkdir(parents=True)
+    (voc / "SegmentationClassAug").mkdir(parents=True)
+    lists = root / "data" / "augmented_file_lists"
+    lists.mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+    names = ["2007_000001", "2007_000002"]
+    for name in names:
+        img = rng.integers(0, 255, (512, 512, 3)).astype(np.uint8)
+        Image.fromarray(img).save(voc / "JPEGImages" / f"{name}.jpg")
+        gt = np.zeros((512, 512), np.uint8)
+        gt[100:300, 150:350] = 8  # class 8 present
+        Image.fromarray(gt, mode="L").save(voc / "SegmentationClassAug" / f"{name}.png")
+    (lists / "trainaug.txt").write_text("\n".join(names))
+    return root
+
+
+def _run(workdir, script, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DSR_DISABLE_PALLAS"] = "1"
+    result = subprocess.run(
+        [sys.executable, os.path.join(CLI, script), *args],
+        cwd=str(workdir), env=env, capture_output=True, text=True, timeout=900)
+    assert result.returncode == 0, \
+        f"{script} failed:\nSTDOUT:{result.stdout[-3000:]}\nSTDERR:{result.stderr[-3000:]}"
+    return result.stdout
+
+
+def test_cli_pipeline_end_to_end(fake_voc):
+    common = ["--backbone", "mobilenet", "--class_id", "8"]
+
+    out = _run(fake_voc, "generate_augmented_copies.py", *common,
+               "--num_aug", "4", "--num_samples", "2",
+               "--angle_max", "0.2", "--shift_max", "10")
+    assert "Valid images: 2" in out
+
+    staged = os.path.join(
+        fake_voc, "data", "superres_root", "augmented_copies",
+        "mobilenet_argmax_8_4")
+    assert sorted(os.listdir(staged)) == ["2007_000001.hdf5", "2007_000002.hdf5"]
+
+    out = _run(fake_voc, "generate_standard_output.py", *common,
+               "--num_samples", "2")
+    standard = os.path.join(fake_voc, "data", "superres_root",
+                            "standard_output", "mobilenet_8")
+    assert sorted(os.listdir(standard)) == ["2007_000001.png", "2007_000002.png"]
+
+    out = _run(fake_voc, "SR_single_class.py", *common, "--no_validation",
+               "--num_aug", "4", "--num_samples", "2", "--num_iter", "10",
+               "--angle_max", "0.2")
+    assert "Avg. Standard IoUs" in out
+    assert "Avg. Max SR IoUs" in out
+
+
+def test_cli_test_sr_smoke(fake_voc):
+    img = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
+                       "VOC2012", "JPEGImages", "2007_000001.jpg")
+    gt = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
+                      "VOC2012", "SegmentationClassAug", "2007_000001.png")
+    out = _run(fake_voc, "test_SR.py", "--backbone", "mobilenet",
+               "--img_path", img, "--gt_path", gt, "--num_aug", "4",
+               "--num_iter", "10", "--class_id", "8", "--save_images")
+    assert "Aug. SR (argmax OPM) IoU:" in out
+    assert os.path.exists(os.path.join(
+        fake_voc, "test_images", "SR_output", "aug_SR",
+        "2007_000001_aug_SR.png"))

@@ -1,0 +1,71 @@
+"""Aux subsystems: profiling timer, checkpoint round-trip, image/hdf5 io."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deeplabv3plus_augmented_superresolution_tpu.data.io import load_image, save_img
+from deeplabv3plus_augmented_superresolution_tpu.models import (
+    load_params_npz,
+    save_params_npz,
+)
+from deeplabv3plus_augmented_superresolution_tpu.utils import (
+    StageTimer,
+    device_summary,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_stage_timer():
+    timer = StageTimer()
+    with timer.stage("a"):
+        _ = jnp.ones(8).sum()
+    with timer.stage("a"):
+        pass
+    with timer.stage("b") as r:
+        r["out"] = jnp.ones(4)
+    assert timer.counts["a"] == 2 and timer.counts["b"] == 1
+    assert "a" in timer.summary() and "ms/call" in timer.summary()
+
+
+def test_device_summary_runs():
+    assert "device" in device_summary()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytree = {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                        "bias": jnp.zeros(3)}}
+    path = save_checkpoint(str(tmp_path / "ckpt"), pytree)
+    restored = restore_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(restored["layer"]["kernel"]),
+                                  np.asarray(pytree["layer"]["kernel"]))
+
+
+def test_npz_params_roundtrip(tmp_path):
+    params = {"conv": {"kernel": jnp.ones((3, 3, 2, 4))},
+              "bn": {"gamma": jnp.full((4,), 2.0)}}
+    path = str(tmp_path / "params.npz")
+    save_params_npz(params, path)
+    loaded = load_params_npz(path)
+    np.testing.assert_array_equal(np.asarray(loaded["bn"]["gamma"]),
+                                  np.asarray(params["bn"]["gamma"]))
+    assert loaded["conv"]["kernel"].shape == (3, 3, 2, 4)
+
+
+def test_save_img_and_load_image_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, 21, (32, 32, 1)).astype(np.float32)
+    path = str(tmp_path / "mask.png")
+    save_img(path, mask, scale=False)
+    loaded = load_image(path, normalize=False, is_png=True)
+    np.testing.assert_array_equal(loaded, mask)
+
+    rgb = rng.integers(0, 255, (16, 16, 3)).astype(np.float32)
+    path = str(tmp_path / "img.png")
+    save_img(path, rgb, scale=False)
+    # jpg loader path expects RGB; use PIL-decoded png via is_png=False works
+    # since load_image converts to RGB
+    loaded = load_image(path, normalize=True, is_png=False)
+    np.testing.assert_allclose(loaded, rgb / 255.0, atol=1e-6)
