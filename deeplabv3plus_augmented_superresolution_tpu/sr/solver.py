@@ -158,16 +158,35 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     minibatch = 0 < cfg.sgd_copies < cfg.num_aug
     base_key = dropout_key if dropout_key is not None else jax.random.key(0)
 
+    if minibatch:
+        # One upfront permutation; each iteration takes a contiguous rolling
+        # window of the shuffled copies (per-iteration index gathers are
+        # needlessly slow on TPU, and cycling a shuffled order is standard
+        # minibatch practice).
+        perm = jax.random.permutation(jax.random.fold_in(base_key, 997),
+                                      cfg.num_aug)
+        lr_masks = jnp.take(lr_masks, perm, axis=0)
+        angles = jnp.take(angles, perm, axis=0)
+        shifts = jnp.take(shifts, perm, axis=0)
+        if copy_weights is not None:
+            copy_weights = jnp.take(copy_weights, perm, axis=0)
+        # Duplicate the head so every window is contiguous without wraparound.
+        lr_masks = jnp.concatenate([lr_masks, lr_masks[:cfg.sgd_copies]], 0)
+        angles = jnp.concatenate([angles, angles[:cfg.sgd_copies]], 0)
+        shifts = jnp.concatenate([shifts, shifts[:cfg.sgd_copies]], 0)
+        if copy_weights is not None:
+            copy_weights = jnp.concatenate(
+                [copy_weights, copy_weights[:cfg.sgd_copies]], 0)
+
     def step(carry, it):
         tgt, state = carry
         if minibatch:
-            idx = jax.random.choice(jax.random.fold_in(base_key, it),
-                                    cfg.num_aug, (cfg.sgd_copies,),
-                                    replace=False)
-            lm = jnp.take(lr_masks, idx, axis=0)
-            an = jnp.take(angles, idx, axis=0)
-            sh = jnp.take(shifts, idx, axis=0)
-            cw = (jnp.take(copy_weights, idx, axis=0)
+            start = (it * cfg.sgd_copies) % cfg.num_aug
+            lm = jax.lax.dynamic_slice_in_dim(lr_masks, start, cfg.sgd_copies, 0)
+            an = jax.lax.dynamic_slice_in_dim(angles, start, cfg.sgd_copies, 0)
+            sh = jax.lax.dynamic_slice_in_dim(shifts, start, cfg.sgd_copies, 0)
+            cw = (jax.lax.dynamic_slice_in_dim(copy_weights, start,
+                                               cfg.sgd_copies, 0)
                   if copy_weights is not None else None)
             scale = cfg.num_aug / cfg.sgd_copies
         else:
