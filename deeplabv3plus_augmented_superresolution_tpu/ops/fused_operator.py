@@ -23,6 +23,12 @@ This computes D . W_single-resample: identical to the reference up to the
 (already accepted) single-vs-double resample interpolation difference of the
 shear warp; tests/test_fused_operator.py quantifies agreement and SR-recovery
 quality.
+
+STATUS: experimental. Numerically validated, but on the current axon/XLA
+stack the decimating passes' strided-slice chains lower poorly (measured ~10x
+slower than the staged Pallas path in the solve loop) — the staged operator
+(solver.py operator_impl="staged") is the production default. The intended
+endgame is a single Pallas kernel for the B/C decimating passes; see NOTES.md.
 """
 
 import math
@@ -128,6 +134,11 @@ def _decimating_shear(images: jnp.ndarray, s: jnp.ndarray, span: int) -> jnp.nda
     return out
 
 
+def am_coef(angle_max: float) -> float:
+    """x-shear coefficient bound for |angle| <= angle_max."""
+    return math.tan(max(angle_max, 1e-3) / 2.0)
+
+
 def fused_taps(angle_max: float, size: int) -> Tuple[int, int]:
     """(span for the y pass, span for the final x pass) shift variations."""
     a = abs(math.tan(angle_max / 2.0))
@@ -171,10 +182,17 @@ def fused_warp_downsample(target: jnp.ndarray, angles: jnp.ndarray,
     am = max(angle_max, 1e-3)
     span_b, span_c = fused_taps(am, max(h, w))
 
-    # ---- pass A: x-shear on the shared target (MXU matmul) ----
-    y_coords = jnp.arange(h, dtype=jnp.float32)
-    s_a = a[:, None] * (y_coords[None, :] - cy) + off_a[:, None]
-    i1 = _shear_shared_matmul(img, s_a)                      # (N, H, W)
+    # ---- pass A: x-shear at full resolution ----
+    # Pallas shear kernel when on TPU (fastest measured path); the MXU
+    # shared-slab matmul (_shear_shared_matmul) is kept as an alternative —
+    # its XLA im2col materialization currently bounds it.
+    from .pallas_shear import candidates_for
+    from .shear_warp import _shear_pass_x, shear_taps
+
+    n_cand = candidates_for(max(abs(math.tan(am_coef(angle_max))), 1e-3))
+    span_a = shear_taps(max(angle_max, 1e-3), h)
+    batched = jnp.broadcast_to(img[None, :, :, None], (n, h, w, 1))
+    i1 = _shear_pass_x(batched, a, off_a, cy, span_a, n_cand)[..., 0]
 
     # ---- pass B: y-shear + y-decimation ----
     x_coords = jnp.arange(w, dtype=jnp.float32)
