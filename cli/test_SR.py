@@ -31,6 +31,8 @@ parser.add_argument("--angle_max", type=float, default=0.15)
 parser.add_argument("--shift_max", type=float, default=80)
 parser.add_argument("--th_factor", type=float, default=0.2)
 parser.add_argument("--save_images", action="store_true")
+parser.add_argument("--plot", action="store_true",
+                    help="save the input/GT/prediction+overlay panel")
 parser.add_argument("--weights_path", type=str, default=None)
 add_sr_args(parser)
 
@@ -90,6 +92,17 @@ def main():
                                   f"{name}_{sr_type}_SR.png"),
                      out[sr_type], scale=True)
         print(f"saved outputs under {args.output_dir}")
+
+    if args.plot:
+        from deeplabv3plus_augmented_superresolution_tpu.utils import plot_prediction
+        input_image = load_image(args.img_path, image_size=IMG_SIZE,
+                                 normalize=False, resize_method="nearest")
+        panel = os.path.join(args.output_dir, "prediction_panel.png")
+        os.makedirs(args.output_dir, exist_ok=True)
+        plot_prediction([input_image, gt_mask, out["aug"]],
+                        only_prediction=False, show_overlay=True,
+                        save_path=panel)
+        print(f"saved {panel}")
 
 
 if __name__ == "__main__":

@@ -68,3 +68,51 @@ def compute_iou(true_image, image, img_size=(512, 512),
     if class_id is not None:
         return float(single_class_iou(true_image, image, class_id, include_bg))
     return float(mean_iou(true_image, image))
+
+
+# ---------------------------------------------------------------------------
+# Training-time metrics (reference utils.py:41-91 — unused by the reference's
+# entry points but part of its public surface; provided for parity).
+# ---------------------------------------------------------------------------
+
+def sparse_crossentropy_ignoring_last_label(y_true, y_pred):
+    """Per-pixel softmax CE from logits, ignoring label 255 via the one-hot
+    "+1 class then drop" construction (reference utils.py:41-46)."""
+    y_true = jnp.asarray(y_true)
+    y_pred = jnp.asarray(y_pred)
+    nb_classes = y_pred.shape[-1]
+    labels = y_true[..., 0].astype(jnp.int32)
+    one_hot = jax.nn.one_hot(labels, nb_classes + 1)[..., :-1]
+    log_softmax = jax.nn.log_softmax(y_pred, axis=-1)
+    return -jnp.sum(one_hot * log_softmax, axis=-1)
+
+
+def sparse_accuracy_ignoring_last_label(y_true, y_pred):
+    """Pixel accuracy over non-255 labels (reference utils.py:49-59)."""
+    y_pred = jnp.asarray(y_pred)
+    nb_classes = y_pred.shape[-1]
+    pred = jnp.argmax(y_pred.reshape(-1, nb_classes), axis=-1)
+    true = jnp.reshape(jnp.asarray(y_true), (-1,)).astype(jnp.int32)
+    legal = true != IGNORE_LABEL
+    right = jnp.sum(legal & (true == pred))
+    return right.astype(jnp.float32) / jnp.sum(legal).astype(jnp.float32)
+
+
+def sparse_mean_iou(y_true, y_pred):
+    """Batched mean IoU from logits (reference utils.py:62-91): per class,
+    IoU averaged over batch elements containing the class; classes absent
+    everywhere are dropped."""
+    y_pred = jnp.asarray(y_pred)
+    nb_classes = y_pred.shape[-1]
+    pred = jnp.argmax(y_pred, axis=-1).reshape(y_pred.shape[0], -1)
+    true = jnp.asarray(y_true).reshape(y_pred.shape[0], -1).astype(jnp.int32)
+    classes = jnp.arange(nb_classes)
+    t_eq = true[None] == classes[:, None, None]     # (C, B, P)
+    p_eq = pred[None] == classes[:, None, None]
+    inter = jnp.sum(t_eq & p_eq, axis=-1).astype(jnp.float32)
+    union = jnp.sum(t_eq | p_eq, axis=-1).astype(jnp.float32)
+    legal = jnp.sum(t_eq, axis=-1) > 0              # (C, B)
+    per_class = jnp.sum(jnp.where(legal, inter / union, 0.0), axis=1) / \
+        jnp.maximum(jnp.sum(legal, axis=1), 1)
+    present = jnp.any(legal, axis=1)
+    return jnp.sum(jnp.where(present, per_class, 0.0)) / jnp.sum(present)

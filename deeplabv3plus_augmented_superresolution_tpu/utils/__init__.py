@@ -1,5 +1,6 @@
 from .profiling import StageTimer, trace_to, device_summary
 from .checkpoint import save_checkpoint, restore_checkpoint
+from .viz import plot_prediction, plot_images, plot_image, plot_histogram, print_labels
 
 __all__ = [
     "StageTimer",
@@ -7,4 +8,9 @@ __all__ = [
     "device_summary",
     "save_checkpoint",
     "restore_checkpoint",
+    "plot_prediction",
+    "plot_images",
+    "plot_image",
+    "plot_histogram",
+    "print_labels",
 ]
