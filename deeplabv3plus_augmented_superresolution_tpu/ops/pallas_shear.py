@@ -29,7 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 # 192 covers the workload's composed shear offsets (|translate| <= ~120 plus
 # the rotation term) and keeps the padded width a multiple of 128.
 PAD = 192
-BLOCK_ROWS = 8
+# 32-row blocks measured ~2x faster than 8-row (per-block scalar work and
+# roll setup amortize); the residual-candidate count grows with block size
+# but stays small for the workload's angles.
+BLOCK_ROWS = 32
 
 
 def _kernel(s_ref, in_ref, out_ref, *, width: int, n_cand: int):

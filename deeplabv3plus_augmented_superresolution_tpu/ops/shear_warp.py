@@ -136,7 +136,8 @@ def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
     y = jnp.arange(h, dtype=jnp.float32)
     s = coef[:, None] * (y[None, :] - center) + offset[:, None]
     s = jax.lax.stop_gradient(s)
-    if _use_pallas() and h % 8 == 0 and w % 8 == 0:
+    from .pallas_shear import BLOCK_ROWS
+    if _use_pallas() and h % BLOCK_ROWS == 0 and w % 8 == 0:
         from .pallas_shear import shear_rows_pallas
 
         flat = jnp.moveaxis(images, 3, 1).reshape(n * c, h, w)
