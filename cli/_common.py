@@ -11,6 +11,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pallas kernels compile through the axon remote-compile helper, which needs
+# these (harmless on other platforms).
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("TPU_WORKER_ID", "0")
+
 SEED = 1234
 IMG_SIZE = (512, 512)
 FEATURE_SIZE = (128, 128)
