@@ -53,6 +53,14 @@ def main():
     # and endorsed by the reference's own copy_dropout sweeps; set 0 for the
     # strict all-copies-every-iteration configuration.
     sgd_copies = int(os.environ.get("BENCH_SGD_COPIES", 25))
+    # BENCH_FAST=1: the tuned fast preset (60 iters, lr 1e-2, fast decay) —
+    # equal recovery quality on the synthetic suite (tests/test_solver.py::
+    # test_fast_preset_matches_reference_quality); the default stays the
+    # reference's 300-iteration configuration for apples-to-apples numbers.
+    fast = os.environ.get("BENCH_FAST") == "1"
+    lr_cfg = (1e-2, max(num_iter // 5, 1), 0.1) if fast else (1e-3, 60, 0.3)
+    if fast:
+        num_iter = min(num_iter, 60)
 
     model_cfg = DeepLabConfig(input_shape=(512, 512, 3), final_upsample=False,
                               compute_dtype="bfloat16")
@@ -74,9 +82,9 @@ def main():
         lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
         num_aug=num_aug, feature_size=(128, 128), output_size=(512, 512),
         angle_max=0.16, sgd_copies=sgd_copies,
-        optimizer=OptimizerConfig(learning_rate=1e-3, amsgrad=True,
-                                  lr_scheduler=True, decay_steps=60,
-                                  decay_rate=0.3))
+        optimizer=OptimizerConfig(learning_rate=lr_cfg[0], amsgrad=True,
+                                  lr_scheduler=True, decay_steps=lr_cfg[1],
+                                  decay_rate=lr_cfg[2]))
     angles, shifts = sample_augmentations(jax.random.key(1234), num_aug,
                                           0.15, 80)
 
@@ -100,7 +108,7 @@ def main():
         "metric": "asr_e2e_images_per_sec",
         "value": round(images_per_sec, 4),
         "unit": (f"images/s (512px, {num_aug} copies, {num_iter} iters, "
-                 f"sgd_copies={sgd_copies}, aug+max+mean+standard, 1 chip)"),
+                 f"sgd_copies={sgd_copies}{', fast-preset' if fast else ''}, aug+max+mean+standard, 1 chip)"),
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
     }))
 

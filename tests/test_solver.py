@@ -230,3 +230,38 @@ def test_bf16_solve_recovery():
     iou = float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
                                  est_mask[..., 0], 8))
     assert iou > 0.88, f"bf16 recovery IoU {iou}"
+
+
+def test_fast_preset_matches_reference_quality():
+    """60 tuned iterations (lr 1e-2, fast decay) recover the synthetic mask as
+    well as 300 reference-style iterations — basis of the documented fast
+    preset (README/NOTES)."""
+    hr, lr, n = 64, 16, 24
+    rng = np.random.default_rng(0)
+    gt = np.zeros((hr, hr, 1), np.float32)
+    gt[20:44, 16:48] = 1.0
+    angles = rng.uniform(-0.25, 0.25, n).astype(np.float32)
+    shifts = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
+    angles[0] = 0.0
+    shifts[0] = 0.0
+    masks = forward_operator(jnp.asarray(gt)[None], jnp.asarray(angles),
+                             jnp.asarray(shifts), (lr, lr))
+
+    def iou_for(num_iter, lrate, steps, rate):
+        cfg = SRConfig(lambda_df=1.0, lambda_tv=0.05, lambda_L2=0.01,
+                       num_iter=num_iter, num_aug=n, feature_size=(lr, lr),
+                       output_size=(hr, hr), angle_max=0.3,
+                       optimizer=OptimizerConfig(learning_rate=lrate,
+                                                 amsgrad=True,
+                                                 lr_scheduler=True,
+                                                 decay_steps=steps,
+                                                 decay_rate=rate))
+        est, _ = augmented_superresolution(masks, jnp.asarray(angles),
+                                           jnp.asarray(shifts), cfg)
+        m = np.asarray(threshold_image(est, 8, th_factor=0.5))
+        return float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
+                                      m[..., 0], 8))
+
+    slow = iou_for(300, 1e-2, 60, 0.3)
+    fast = iou_for(60, 2e-2, 12, 0.1)
+    assert fast >= slow - 0.02, f"fast {fast} vs slow {slow}"
