@@ -9,7 +9,7 @@ Flags replace the reference's edit-in-source constant block
 import argparse
 import os
 
-from _common import FEATURE_SIZE, IMG_SIZE, SEED, add_sr_args, data_paths, make_sr_config
+from _common import IMG_SIZE, SEED, add_sr_args, data_paths, make_sr_config
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--num_aug", type=int, default=100)

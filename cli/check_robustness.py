@@ -44,7 +44,7 @@ def main():
         get_img_paths,
         load_image,
     )
-    from deeplabv3plus_augmented_superresolution_tpu.metrics import single_class_iou, mean_iou
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import mean_iou
     from deeplabv3plus_augmented_superresolution_tpu.ops.shear_warp import (
         paeth_rotate_translate,
     )

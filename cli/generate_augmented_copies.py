@@ -7,7 +7,6 @@ of model.predict + an eager host loop.
 """
 
 import argparse
-import os
 
 from _common import IMG_SIZE, SEED, build_deeplab, data_paths
 

@@ -6,7 +6,6 @@ data/superres_root/standard_output/<backbone>_<classid>[_validation]/.
 
 import argparse
 import os
-from functools import partial
 
 from _common import IMG_SIZE, build_deeplab, data_paths
 

@@ -1,0 +1,119 @@
+"""Fused end-to-end ASR over a directory / file list — the serving path.
+
+The reference requires three staged scripts (generate_augmented_copies ->
+hdf5 -> SR_single_class + generate_standard_output) to produce ASR masks.
+This entry point runs the whole thing as one jitted program per image (and
+reports IoUs when ground truth is available): the TPU-native workflow with no
+filesystem staging.
+"""
+
+import argparse
+import glob
+import os
+import time
+
+from _common import IMG_SIZE, SEED, add_sr_args, build_deeplab, make_sr_config
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--images", type=str, required=True,
+                    help="image file, directory, or glob of .jpg inputs")
+parser.add_argument("--gt_dir", type=str, default=None,
+                    help="optional dir of <name>.png GT label masks for IoU")
+parser.add_argument("--output_dir", type=str,
+                    default=os.path.join(os.getcwd(), "asr_output"))
+parser.add_argument("--class_id", type=int, default=8, choices=range(21))
+parser.add_argument("--mode", type=str, default="argmax",
+                    choices=["slice_max", "slice", "argmax"])
+parser.add_argument("--backbone", type=str, default="xception",
+                    choices=["mobilenet", "xception"])
+parser.add_argument("--num_aug", type=int, default=100)
+parser.add_argument("--angle_max", type=float, default=0.15)
+parser.add_argument("--shift_max", type=float, default=80)
+parser.add_argument("--th_factor", type=float, default=0.2)
+parser.add_argument("--sr_types", type=str, default="aug",
+                    help="comma list of aug,max,mean")
+parser.add_argument("--fast", action="store_true",
+                    help="tuned fast preset: 60 iters, lr 1e-2, 25-copy minibatch")
+parser.add_argument("--weights_path", type=str, default=None)
+parser.add_argument("--limit", type=int, default=None)
+add_sr_args(parser)
+
+
+def main():
+    args = parser.parse_args()
+    if args.fast:
+        args.num_iter = min(args.num_iter, 60)
+        args.learning_rate = max(args.learning_rate, 1e-2)
+        args.decay_steps = max(args.num_iter // 5, 1)
+        args.decay_rate = 0.1
+        args.sgd_copies = args.sgd_copies or 25
+
+    if os.path.isdir(args.images):
+        paths = sorted(glob.glob(os.path.join(args.images, "*.jpg")))
+    elif any(ch in args.images for ch in "*?["):
+        paths = sorted(glob.glob(args.images))
+    else:
+        paths = [args.images]
+    if args.limit:
+        paths = paths[:args.limit]
+    if not paths:
+        raise SystemExit(f"No images matched {args.images}")
+
+    import jax
+    import numpy as np
+    from tqdm import tqdm
+
+    from deeplabv3plus_augmented_superresolution_tpu.data import (
+        load_image,
+        save_img,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import compute_iou
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        asr_step,
+        sample_augmentations,
+    )
+
+    model_cfg, params, _ = build_deeplab(args.backbone, final_upsample=False,
+                                         weights_path=args.weights_path)
+    feature = (64, 64) if args.backbone == "mobilenet" else (128, 128)
+    sr_cfg = make_sr_config(args, num_aug=args.num_aug, feature_size=feature,
+                            angle_max=args.angle_max)
+    sr_types = tuple(t.strip() for t in args.sr_types.split(",") if t.strip())
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    ious = {k: [] for k in sr_types + ("standard",)}
+    start = time.time()
+    n_done = 0
+    for path in tqdm(paths):
+        name = os.path.splitext(os.path.basename(path))[0]
+        image = load_image(path, image_size=IMG_SIZE, normalize=True)
+        key = jax.random.fold_in(jax.random.key(SEED),
+                                 abs(hash(name)) % (2 ** 31))
+        angles, shifts = sample_augmentations(key, args.num_aug,
+                                              args.angle_max, args.shift_max)
+        out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
+                       class_id=args.class_id, mode=args.mode,
+                       th_factor=args.th_factor, sr_types=sr_types)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        n_done += 1
+        for k, mask in out.items():
+            save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
+                     mask, scale=False)
+        if args.gt_dir:
+            gt_path = os.path.join(args.gt_dir, f"{name}.png")
+            if os.path.exists(gt_path):
+                gt = load_image(gt_path, image_size=IMG_SIZE, normalize=False,
+                                is_png=True, resize_method="nearest")
+                for k, mask in out.items():
+                    ious[k].append(compute_iou(gt, mask, class_id=args.class_id))
+
+    wall = time.time() - start
+    print(f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "
+          "first compile); masks under " + args.output_dir)
+    for k, vals in ious.items():
+        if vals:
+            print(f"  avg IoU[{k}]: {float(np.mean(vals)):.4f} (n={len(vals)})")
+
+
+if __name__ == "__main__":
+    main()

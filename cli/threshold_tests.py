@@ -6,7 +6,7 @@ th_<mode>_<num_samples>.csv.
 import argparse
 import os
 
-from _common import FEATURE_SIZE, IMG_SIZE, SEED, add_sr_args, data_paths, make_sr_config
+from _common import IMG_SIZE, SEED, add_sr_args, data_paths, make_sr_config
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--num_aug", type=int, default=100)

@@ -8,7 +8,7 @@ ops/. Implemented on numpy + cv2.
 """
 
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ download it out-of-band on a machine with egress.
 """
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

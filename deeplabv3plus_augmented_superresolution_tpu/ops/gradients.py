@@ -5,8 +5,6 @@ the reference TV term (superresolution.py:81-83) and the bilateral-TV variant
 (superresolution.py:8-23).
 """
 
-import itertools
-
 import jax.numpy as jnp
 
 from .warp import translate

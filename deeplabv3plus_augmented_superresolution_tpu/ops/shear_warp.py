@@ -29,8 +29,6 @@ tfa-semantics reference for CPU golden tests.
 
 import math
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -10,18 +10,14 @@ The reference has no distributed path at all (SURVEY.md §2 row
 "Parallelism"); this module is the new-by-design scaling component.
 """
 
-import dataclasses
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.deeplab import DeepLabConfig
 from ..pipeline.end_to_end import asr_step
 from ..sr.solver import SRConfig
-from .mesh import make_mesh
 
 
 def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,

@@ -11,8 +11,6 @@ does optax (eps_root=0).
 """
 
 import dataclasses
-from typing import Optional
-
 import optax
 
 

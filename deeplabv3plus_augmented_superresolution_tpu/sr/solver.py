@@ -7,8 +7,9 @@ Superresolution) TPU-first:
     (reference superresolution.py:120-135) becomes a single lax.scan inside
     one jit — no per-iteration host round trips;
   * the forward operator (tile -> rotate -> translate -> bilinear downsample,
-    reference :59-68) stays two-pass-bilinear for numerical parity, with the
-    downsample running as MXU matmuls (ops/resize.py);
+    reference :59-68) runs as the gather-free shear warp by default
+    (warp_impl="shear"; "gather" gives exact tfa numerics for CPU parity
+    runs), with the downsample as MXU matmuls (ops/resize.py);
   * copy-dropout (reference :47-53) is a multiplicative 0/1 weight per copy —
     static shapes, jit-friendly. The reference draws its mask with NumPy
     inside @tf.function so it is actually frozen per trace; we draw one mask
@@ -27,7 +28,7 @@ import optax
 
 from ..ops.gradients import bilateral_tv, total_variation
 from ..ops.resize import resize
-from ..ops.warp import rotate, translate, rotation_transform, translation_transform, compose_transforms, affine_warp
+from ..ops.warp import rotate, translate
 from .optimizer import OptimizerConfig, make_optimizer
 
 

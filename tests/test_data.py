@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from deeplabv3plus_augmented_superresolution_tpu.data import voc

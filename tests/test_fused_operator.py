@@ -1,7 +1,6 @@
 """Fused warp+downsample operator vs the staged reference composition."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ import pytest
 from deeplabv3plus_augmented_superresolution_tpu.models import (
     DeepLabConfig,
     build_model,
-    forward,
     init_params,
     head_layer_name,
     load_keras_h5_weights,

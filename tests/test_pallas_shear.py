@@ -2,7 +2,6 @@
 CPU; the real kernel runs on TPU only)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,6 @@
 """Aux subsystems: profiling timer, checkpoint round-trip, image/hdf5 io."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from deeplabv3plus_augmented_superresolution_tpu.ops import (
-    affine_warp,
     rotate,
     rotation_transform,
     translate,
