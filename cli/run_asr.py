@@ -80,6 +80,15 @@ def main():
                             angle_max=args.angle_max)
     sr_types = tuple(t.strip() for t in args.sr_types.split(",") if t.strip())
 
+    from deeplabv3plus_augmented_superresolution_tpu.utils import device_resilient
+
+    @device_resilient(max_retries=2)
+    def run_one(image, angles, shifts):
+        out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
+                       class_id=args.class_id, mode=args.mode,
+                       th_factor=args.th_factor, sr_types=sr_types)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     os.makedirs(args.output_dir, exist_ok=True)
     ious = {k: [] for k in sr_types + ("standard",)}
     start = time.time()
@@ -91,10 +100,7 @@ def main():
                                  abs(hash(name)) % (2 ** 31))
         angles, shifts = sample_augmentations(key, args.num_aug,
                                               args.angle_max, args.shift_max)
-        out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
-                       class_id=args.class_id, mode=args.mode,
-                       th_factor=args.th_factor, sr_types=sr_types)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = run_one(image, angles, shifts)
         n_done += 1
         for k, mask in out.items():
             save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),

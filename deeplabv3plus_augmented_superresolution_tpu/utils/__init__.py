@@ -1,5 +1,6 @@
 from .profiling import StageTimer, trace_to, device_summary
 from .checkpoint import save_checkpoint, restore_checkpoint
+from .retry import device_healthy, device_resilient, wait_for_device
 from .viz import plot_prediction, plot_images, plot_image, plot_histogram, print_labels
 
 __all__ = [
@@ -13,4 +14,7 @@ __all__ = [
     "plot_image",
     "plot_histogram",
     "print_labels",
+    "device_healthy",
+    "device_resilient",
+    "wait_for_device",
 ]

@@ -68,3 +68,41 @@ def test_save_img_and_load_image_roundtrip(tmp_path):
     # since load_image converts to RGB
     loaded = load_image(path, normalize=True, is_png=False)
     np.testing.assert_allclose(loaded, rgb / 255.0, atol=1e-6)
+
+
+def test_device_resilient_retries_runtime_errors():
+    import jax
+    from deeplabv3plus_augmented_superresolution_tpu.utils import (
+        device_healthy,
+        device_resilient,
+    )
+
+    calls = {"n": 0}
+
+    @device_resilient(max_retries=2, max_wait_s=0.01,
+                      on_retry=lambda a, e: None)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: fake worker crash")
+        return 42
+
+    assert flaky() == 42
+    assert calls["n"] == 3
+    assert device_healthy()
+
+    @device_resilient(max_retries=1, max_wait_s=0.01,
+                      on_retry=lambda a, e: None)
+    def always_fails():
+        raise jax.errors.JaxRuntimeError("UNAVAILABLE: persistent")
+
+    import pytest as _pytest
+    with _pytest.raises(jax.errors.JaxRuntimeError):
+        always_fails()
+
+    @device_resilient()
+    def type_error():
+        raise TypeError("bug, not flakiness")
+
+    with _pytest.raises(TypeError):
+        type_error()
