@@ -88,12 +88,14 @@ def main():
     angles, shifts = sample_augmentations(jax.random.key(1234), num_aug,
                                           0.15, 80)
 
+    import jax.numpy as jnp
+
     def run():
         out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
                        class_id=8, mode="argmax", th_factor=0.2)
-        # Force a real device->host sync (block_until_ready can be a no-op
-        # through the axon tunnel).
-        return {k: float(v.sum()) for k, v in out.items()}
+        # One combined device->host sync (block_until_ready can be a no-op
+        # through the axon tunnel; each separate fetch costs ~30ms).
+        return float(sum(jnp.sum(v) for v in out.values()))
 
     run()  # compile
     times = []
