@@ -52,15 +52,22 @@ def main():
     # quality-equivalent on the synthetic-recovery suite (tests/test_solver)
     # and endorsed by the reference's own copy_dropout sweeps; set 0 for the
     # strict all-copies-every-iteration configuration.
-    sgd_copies = int(os.environ.get("BENCH_SGD_COPIES", 25))
+    sgd_copies = int(os.environ.get("BENCH_SGD_COPIES", 0))
+    # Default solver: the precomputed-Gram data term (ops/gram.py) — the
+    # exact same objective and gradients as the reference's per-iteration
+    # warps (tests/test_gram.py), with the 2*num_aug warps replaced by a
+    # 63-tap stencil after a one-time probe extraction.
+    solver_impl = os.environ.get("BENCH_SOLVER", "gram")
     # BENCH_FAST=1: the tuned fast preset (60 iters, lr 1e-2, fast decay) —
     # equal recovery quality on the synthetic suite (tests/test_solver.py::
     # test_fast_preset_matches_reference_quality); the default stays the
     # reference's 300-iteration configuration for apples-to-apples numbers.
     fast = os.environ.get("BENCH_FAST") == "1"
-    lr_cfg = (1e-2, max(num_iter // 5, 1), 0.1) if fast else (1e-3, 60, 0.3)
     if fast:
         num_iter = min(num_iter, 60)
+        sgd_copies = sgd_copies or 25
+        solver_impl = "direct"
+    lr_cfg = (1e-2, max(num_iter // 5, 1), 0.1) if fast else (1e-3, 60, 0.3)
 
     model_cfg = DeepLabConfig(input_shape=(512, 512, 3), final_upsample=False,
                               compute_dtype="bfloat16")
@@ -81,7 +88,7 @@ def main():
     sr_cfg = SRConfig(
         lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
         num_aug=num_aug, feature_size=(128, 128), output_size=(512, 512),
-        angle_max=0.16, sgd_copies=sgd_copies,
+        angle_max=0.16, sgd_copies=sgd_copies, solver_impl=solver_impl,
         optimizer=OptimizerConfig(learning_rate=lr_cfg[0], amsgrad=True,
                                   lr_scheduler=True, decay_steps=lr_cfg[1],
                                   decay_rate=lr_cfg[2]))
@@ -110,7 +117,7 @@ def main():
         "metric": "asr_e2e_images_per_sec",
         "value": round(images_per_sec, 4),
         "unit": (f"images/s (512px, {num_aug} copies, {num_iter} iters, "
-                 f"sgd_copies={sgd_copies}{', fast-preset' if fast else ''}, aug+max+mean+standard, 1 chip)"),
+                 f"solver={solver_impl}, sgd_copies={sgd_copies}{', fast-preset' if fast else ''}, aug+max+mean+standard, 1 chip)"),
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
     }))
 

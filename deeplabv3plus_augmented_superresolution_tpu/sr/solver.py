@@ -68,6 +68,13 @@ class SRConfig:
     # halves the solve's VPU/HBM cost at ~0.4% per-warp relative error
     # (mask-level quality validated in tests).
     solve_dtype: str = "float32"
+    # solver_impl: "direct" evaluates the data term with per-iteration warps
+    # (reference structure); "gram" precomputes G = sum_i A_i^T A_i as a
+    # small spatially-varying stencil and b = sum_i A_i^T y_i once, then each
+    # iteration's df gradient is 2(Gx - b) — mathematically identical, ~100x
+    # less per-iteration work at full copy count (ops/gram.py). Ignored when
+    # sgd_copies is active (minibatching already subsamples the data term).
+    solver_impl: str = "direct"
     # stochastic copy minibatching: each iteration warps only sgd_copies
     # randomly-chosen copies (df term rescaled by num_aug/sgd_copies for an
     # unbiased gradient). 0 = use all copies every iteration (reference
@@ -157,6 +164,10 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     opt_state = opt.init(target)
 
     minibatch = 0 < cfg.sgd_copies < cfg.num_aug
+
+    if cfg.solver_impl == "gram" and not minibatch:
+        return _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
+                           cfg, copy_weights)
     base_key = dropout_key if dropout_key is not None else jax.random.key(0)
 
     if minibatch:
@@ -200,6 +211,59 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
 
     (target, _), losses = jax.lax.scan(step, (target, opt_state),
                                        jnp.arange(cfg.num_iter))
+    return target[0], losses[-1]
+
+
+def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
+                cfg: SRConfig, copy_weights):
+    """Adam loop with the data-term gradient from the precomputed Gram
+    stencil: exact same objective/gradients as the direct path."""
+    from ..ops.gram import RADIUS_X, RADIUS_Y, apply_gram, extract_gram_stencil
+
+    ry, rx = RADIUS_Y, RADIUS_X
+    mask_w = copy_weights
+
+    def masked_forward(z):
+        # Copy-dropout folds in exactly: the 0/1 weight w_i multiplies A_i,
+        # hence w_i^2 = w_i multiplies A_i^T A_i, and w_i multiplies A_i^T y_i
+        # when the rhs cotangent is also masked.
+        out = forward_operator(z, angles, shifts, cfg.feature_size, cfg)
+        return out * mask_w[:, None, None, None] if mask_w is not None else out
+
+    def normal_op(x):
+        out, vjp = jax.vjp(masked_forward, x)
+        return vjp(out)[0]
+
+    coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size), ry, rx)
+
+    _, vjp0 = jax.vjp(masked_forward, jnp.zeros_like(target))
+    masked_y = (lr_masks * mask_w[:, None, None, None]
+                if mask_w is not None else lr_masks)
+    b = vjp0(masked_y)[0]
+    y_const = jnp.sum(jnp.square(masked_y))
+
+    def step(carry, _):
+        tgt, state = carry
+        gx = apply_gram(tgt, coeffs, ry, rx)
+        df_val = jnp.sum(tgt * gx) - 2.0 * jnp.sum(tgt * b) + y_const
+        df_grad = 2.0 * (gx - b)
+
+        def reg_loss(z):
+            tv = bilateral_tv(z) if cfg.use_BTV else total_variation(z)
+            loss = cfg.lambda_tv * tv + cfg.lambda_L2 * jnp.sum(jnp.square(z))
+            if cfg.lambda_L1 > 0.0:
+                loss = loss + cfg.lambda_L1 * jnp.sum(jnp.abs(z))
+            return loss
+
+        reg_val, reg_grad = jax.value_and_grad(reg_loss)(tgt)
+        loss = cfg.lambda_df * df_val + reg_val
+        grads = cfg.lambda_df * df_grad + reg_grad
+        updates, state = opt.update(grads, state, tgt)
+        tgt = optax.apply_updates(tgt, updates)
+        return (tgt, state), loss
+
+    (target, _), losses = jax.lax.scan(step, (target, opt_state), None,
+                                       length=cfg.num_iter)
     return target[0], losses[-1]
 
 
