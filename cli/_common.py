@@ -88,7 +88,7 @@ def make_sr_config(args=None, num_aug: int = 100, feature_size=FEATURE_SIZE,
         "num_iter": 300, "optimizer": "adam", "learning_rate": 1e-3,
         "amsgrad": True, "lr_scheduler": True, "decay_steps": 60,
         "decay_rate": 0.3, "copy_dropout": 0.0, "use_BTV": False,
-        "angle_max": 0.5, "sgd_copies": 0,
+        "angle_max": 0.5, "sgd_copies": 0, "solver_impl": "gram",
     }
     if args is not None:
         for key in hp:
@@ -107,7 +107,8 @@ def make_sr_config(args=None, num_aug: int = 100, feature_size=FEATURE_SIZE,
         feature_size=tuple(feature_size), output_size=tuple(output_size),
         use_BTV=hp["use_BTV"], copy_dropout=hp["copy_dropout"],
         angle_max=max(float(hp["angle_max"]), 1e-3),
-        sgd_copies=hp["sgd_copies"], optimizer=opt)
+        sgd_copies=hp["sgd_copies"], solver_impl=hp["solver_impl"],
+        optimizer=opt)
 
 
 def add_sr_args(parser):
@@ -127,4 +128,8 @@ def add_sr_args(parser):
     parser.add_argument("--use_BTV", action="store_true")
     parser.add_argument("--sgd_copies", type=int, default=0,
                         help="copies per solver iteration (0 = all; TPU perf knob)")
+    parser.add_argument("--solver_impl", type=str, default="gram",
+                        choices=["gram", "direct"],
+                        help="data-term evaluation: precomputed Gram stencil "
+                             "(exact, fast) or per-iteration warps")
     return parser
