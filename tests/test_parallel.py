@@ -76,3 +76,22 @@ def test_aug_axis_only_mesh(small_setup):
     p, im, a_, s_ = shard_batch(mesh, params, images, a[None], s[None])
     out = fn(p, im, a_, s_)
     assert out["mean"].shape == (1, 64, 64, 1)
+
+
+def test_sharded_batch_with_gram_solver(small_setup):
+    """The gram solver's probe extraction composes with vmap + mesh sharding."""
+    import dataclasses
+
+    cfg, params, sr_cfg = small_setup
+    sr_cfg = dataclasses.replace(sr_cfg, solver_impl="gram")
+    mesh = make_mesh(shape=(2, 4))
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(9), 2)
+    angles = jnp.stack([sample_augmentations(k, 8, 0.2, 4.0)[0] for k in keys])
+    shifts = jnp.stack([sample_augmentations(k, 8, 0.2, 4.0)[1] for k in keys])
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, sr_types=("aug",))
+    p, im, a, s = shard_batch(mesh, params, images, angles, shifts)
+    out = fn(p, im, a, s)
+    assert out["aug"].shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["aug"])).all()
