@@ -6,11 +6,7 @@ ever materializing full-resolution warped copies, by folding TF-bilinear
 decimation (512->128 = 2x2 average at stride 4, offset +1) into the Paeth
 shear chain:
 
-  pass A: x-shear at full resolution. The *input is the same target image
-          for every copy*, so this pass is evaluated as a batched MXU matmul
-          against a shared Toeplitz window slab (im2col over row blocks):
-          out[n, y, :] = Wgt[n, y, :] @ Windows[y]  — tap weights have two
-          nonzeros per row, but MXU flops are ~free at this size.
+  pass A: x-shear at full resolution (the Pallas shear kernel on TPU).
   pass B: y-shear fused with y-decimation: output has 128 rows per copy.
   pass C: x-shear fused with x-decimation: output is the 128x128 LR map.
 
@@ -61,45 +57,6 @@ def _tap_weights_decimated(r: jnp.ndarray, k_taps: int) -> jnp.ndarray:
     return (jnp.where(f == ks - 1, 0.5 * (1.0 - t), 0.0)
             + jnp.where(f == ks - 2, 0.5, 0.0)
             + jnp.where(f == ks - 3, 0.5 * t, 0.0))
-
-
-def _shear_shared_matmul(target: jnp.ndarray, s: jnp.ndarray,
-                         block_rows: int = 8) -> jnp.ndarray:
-    """Pass A: per-copy x-shear of ONE shared (H, W) image via MXU matmuls.
-
-    target: (H, W); s: (N, H) shift per copy and row (positive = sample to
-    the right). Returns (N, H, W). Evaluated as a scan over row blocks:
-    windows (BR, K, W) are built from static slices of the padded target and
-    contracted with the (N, BR, K) weights on the MXU.
-    """
-    h, w = target.shape
-    n = s.shape[0]
-    s = jnp.clip(s, -_PAD + 1, _PAD - 3)
-    # Full-width taps (K = 2*_PAD): two nonzeros per row, but the dense
-    # contraction is only ~27 GFLOP at H=512, N=100 — cheap on the MXU.
-    weights = _tap_weights_lerp(s + _PAD, 2 * _PAD)       # (N, H, 2*_PAD)
-    k_total = 2 * _PAD
-    padded = jnp.pad(target, ((0, 0), (_PAD, _PAD)))      # (H, W + 2PAD)
-    weights = jax.lax.stop_gradient(weights)
-
-    n_blocks = h // block_rows
-    w_blocks = weights.reshape(n, n_blocks, block_rows, k_total)
-
-    def block(carry, inputs):
-        rows, wgt = inputs                                 # (BR, W+2PAD), (N, BR, K)
-        windows = jnp.stack(
-            [jax.lax.slice_in_dim(rows, k, k + w, axis=1)
-             for k in range(k_total)], axis=1)             # (BR, K, W)
-        out = jnp.einsum("nrk,rkw->nrw", wgt, windows,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        return carry, out
-
-    rows_blocked = padded.reshape(n_blocks, block_rows, w + 2 * _PAD)
-    _, outs = jax.lax.scan(block, None,
-                           (rows_blocked, jnp.swapaxes(w_blocks, 0, 1)))
-    # outs: (n_blocks, N, BR, W) -> (N, H, W)
-    return jnp.swapaxes(outs, 0, 1).reshape(n, h, w)
 
 
 def _decimating_shear(images: jnp.ndarray, s: jnp.ndarray, span: int) -> jnp.ndarray:
@@ -183,9 +140,6 @@ def fused_warp_downsample(target: jnp.ndarray, angles: jnp.ndarray,
     span_b, span_c = fused_taps(am, max(h, w))
 
     # ---- pass A: x-shear at full resolution ----
-    # Pallas shear kernel when on TPU (fastest measured path); the MXU
-    # shared-slab matmul (_shear_shared_matmul) is kept as an alternative —
-    # its XLA im2col materialization currently bounds it.
     from .pallas_shear import candidates_for
     from .shear_warp import _shear_pass_x, shear_taps
 

@@ -88,8 +88,3 @@ def resize(x: jnp.ndarray, size, method: str = "bilinear") -> jnp.ndarray:
     y = jnp.einsum("pw,...owc->...opc", mw, y,
                    preferred_element_type=compute, precision=prec)
     return y
-
-
-def downsample_then_flatten(x: jnp.ndarray, size) -> jnp.ndarray:
-    """Convenience used by the SR data-fidelity term."""
-    return resize(x, size, method="bilinear")
