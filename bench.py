@@ -76,10 +76,9 @@ def main():
         model_cfg, seed=0,
         weights_path=weights if os.path.exists(weights) else None)
 
-    img_path = "/root/reference/test_images/test_cat.jpg"
-    if not os.path.exists(img_path):
-        img_path = None
-    if img_path:
+    img_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "test_images", "smoke_input.jpg")
+    if os.path.exists(img_path):
         image = load_image(img_path, image_size=(512, 512), normalize=True)
     else:
         image = np.random.default_rng(0).uniform(

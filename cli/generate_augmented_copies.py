@@ -11,23 +11,23 @@ import argparse
 from _common import IMG_SIZE, SEED, build_deeplab, data_paths
 
 parser = argparse.ArgumentParser()
-parser.add_argument("--num_aug", help="Number of augmented copies created for each image",
+parser.add_argument("--num_aug", help="augmented copies per image (copy 0 is always the identity)",
                     action="store", type=int, default=100)
-parser.add_argument("--num_samples", help="Number of samples taken from the dataset",
+parser.add_argument("--num_samples", help="cap on how many class-filtered images to process",
                     action="store", type=int, default=500)
-parser.add_argument("--mode", help="Whether to operate in slicing, slicing variation or argmax mode",
+parser.add_argument("--mode", help="output-processing mode applied to each LR prediction",
                     action="store", type=str,
                     choices=["slice_max", "slice", "argmax"], default="argmax")
-parser.add_argument("--angle_max", help="Max angle value (in radians) used for rotations",
+parser.add_argument("--angle_max", help="rotation bound in radians; angles are uniform in +/- this",
                     action="store", type=float, default=0.3)
-parser.add_argument("--shift_max", help="Max shift value used for traslations",
+parser.add_argument("--shift_max", help="translation bound in pixels; shifts are uniform in +/- this",
                     action="store", type=int, default=30)
-parser.add_argument("--backbone", help="Either mobilenet or xception, specifies the type of backbone to use",
+parser.add_argument("--backbone", help="DeepLabV3+ backbone variant",
                     action="store", type=str,
                     choices=["mobilenet", "xception"], default="xception")
-parser.add_argument("--use_validation", help="Create data from validation set",
+parser.add_argument("--use_validation", help="read the validation split instead of trainaug",
                     action="store_true")
-parser.add_argument("--class_id", help="class_id for image filtering",
+parser.add_argument("--class_id", help="PASCAL class to keep: only images containing it are used",
                     action="store", type=int, default=8, choices=range(21),
                     required=True)
 parser.add_argument("--chunk_size", help="model-forward chunk size (0 = single batch)",

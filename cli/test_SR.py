@@ -15,10 +15,12 @@ import numpy as np
 from _common import FEATURE_SIZE, IMG_SIZE, SEED, add_sr_args, build_deeplab, make_sr_config
 
 parser = argparse.ArgumentParser()
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         os.pardir, "test_images")
 parser.add_argument("--img_path", type=str,
-                    default="/root/reference/test_images/test_cat.jpg")
+                    default=os.path.join(_FIXTURES, "smoke_input.jpg"))
 parser.add_argument("--gt_path", type=str,
-                    default="/root/reference/test_images/test_cat_gt.png")
+                    default=os.path.join(_FIXTURES, "smoke_gt.png"))
 parser.add_argument("--output_dir", type=str,
                     default=os.path.join(os.getcwd(), "test_images", "SR_output"))
 parser.add_argument("--class_id", type=int, default=8)

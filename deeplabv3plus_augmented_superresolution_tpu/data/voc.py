@@ -44,42 +44,56 @@ def voc_colormap(num_colors: int = 256) -> np.ndarray:
 
 
 def download_dataset(dataset_url: str, dest_folder: str) -> str:
-    """Idempotent download (reference data_utils.py:13-49)."""
+    """Fetch an archive into dest_folder; a file already on disk is kept as-is.
+
+    Returns the local archive path. (Role of reference data_utils.py:13-49.)
+    """
     import urllib.request
 
-    extension = ".zip" if ".zip" in dataset_url else ".tar"
-    name = dataset_url.split("/")[-1]
-    filename = name[: name.index(extension) + len(extension)]
     os.makedirs(dest_folder, exist_ok=True)
-    full_dest_path = os.path.join(dest_folder, filename)
-    if os.path.exists(full_dest_path):
-        print(f"File {filename} already in destination folder, skipping download")
-        return full_dest_path
+    # Archive name = URL basename truncated after its .tar/.zip suffix — the
+    # Berkeley SBD link carries a ?dl=1 query string after the extension.
+    tail = dataset_url.rsplit("/", 1)[-1]
+    for ext in (".zip", ".tar"):
+        cut = tail.find(ext)
+        if cut != -1:
+            tail = tail[: cut + len(ext)]
+            break
+    local_path = os.path.join(dest_folder, tail)
+    if os.path.exists(local_path):
+        print(f"[voc] {tail}: already on disk, not re-fetching")
+        return local_path
 
-    def _progress(count, block_size, total_size):
-        sys.stdout.write("\rDownloading %s %.1f%%" % (
-            filename, 100.0 * count * block_size / max(total_size, 1)))
+    def _report(blocks_done, block_size, total_bytes):
+        done_mb = blocks_done * block_size / 2**20
+        if total_bytes > 0:
+            pct = min(100.0, 100.0 * blocks_done * block_size / total_bytes)
+            sys.stdout.write(f"\r[voc] fetching {tail}: {pct:5.1f}%")
+        else:
+            sys.stdout.write(f"\r[voc] fetching {tail}: {done_mb:.0f} MiB")
         sys.stdout.flush()
 
-    filepath, _ = urllib.request.urlretrieve(dataset_url, full_dest_path, _progress)
-    print(f"\nSuccessfully downloaded {filename}")
-    return filepath
+    urllib.request.urlretrieve(dataset_url, local_path, _report)
+    print(f"\n[voc] fetched {tail}")
+    return local_path
 
 
 def extract_file(filepath: str, dest_folder: str,
                  is_extracted: Optional[str] = None) -> None:
-    """Idempotent zip/tar extraction (reference data_utils.py:52-83)."""
+    """Unpack a .tar/.zip archive unless the sentinel path already exists.
+
+    `is_extracted` names a path whose presence marks a previous successful
+    extraction (e.g. the VOCdevkit dir). (Role of reference data_utils.py:52-83.)
+    """
     if is_extracted and os.path.exists(is_extracted):
-        print("File already extracted")
+        print(f"[voc] {os.path.basename(filepath)}: already unpacked, skipping")
         return
-    if filepath.endswith(".zip"):
-        with zipfile.ZipFile(filepath, "r") as zf:
-            zf.extractall(dest_folder)
-    elif filepath.endswith(".tar"):
-        with tarfile.open(filepath, "r") as tf:
-            tf.extractall(dest_folder)
-    else:
-        raise ValueError("The specified file is not a zip or a tar file")
+    openers = {".zip": zipfile.ZipFile, ".tar": tarfile.open}
+    opener = openers.get(os.path.splitext(filepath)[1])
+    if opener is None:
+        raise ValueError(f"cannot unpack {filepath!r}: need a .tar or .zip archive")
+    with opener(filepath) as archive:
+        archive.extractall(dest_folder)
 
 
 def remove_gt_colormap(seg_folder: str, output_dir: str) -> int:

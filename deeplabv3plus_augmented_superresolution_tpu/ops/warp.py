@@ -8,9 +8,10 @@ over TF's ``ImageProjectiveTransformV3`` kernel: for every output pixel
 sampling point, which is read bilinearly with constant (0) fill for any
 neighbor outside the image.
 
-This module is the XLA reference implementation (gathers + lerp). The Pallas
-TPU kernel in ``warp_pallas.py`` implements the same contract for the hot SR
-loop; both are exercised against TF goldens in tests/test_warp.py.
+This module is the XLA reference implementation (gathers + lerp). The hot SR
+loop instead uses the Paeth shear decomposition (``shear_warp.py``) with the
+Pallas kernel in ``pallas_shear.py``; all are exercised against TF goldens in
+tests/test_warp.py and tests/test_shear_warp.py.
 
 Transform convention (identical to TF):
   x_in = (a0 * x_out + a1 * y_out + a2) / (c0 * x_out + c1 * y_out + 1)
