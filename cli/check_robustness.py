@@ -81,10 +81,11 @@ def main():
         angles = jnp.full((n,), angle, jnp.float32)
         shifts = jnp.broadcast_to(jnp.asarray([sx, sy], jnp.float32), (n, 2))
         aug = paeth_rotate_translate(imgs, angles, shifts, angle_bound)
+        # GT is warped with nearest interpolation (pure label selection — no
+        # blending of class ids or of the 255 ignore label into neighbors),
+        # matching reference check_robustness.py:47-50.
         gt_aug = paeth_rotate_translate(gt.astype(jnp.float32), angles, shifts,
-                                        angle_bound)
-        # nearest-style GT warp: round the bilinearly warped labels
-        gt_aug = jnp.round(gt_aug)
+                                        angle_bound, interpolation="nearest")
         logits = apply_fn(p, aug)
         pred = jnp.argmax(logits, axis=-1)
 

@@ -19,6 +19,13 @@ so backward reuses the same kernel via jax.custom_vjp.
 
 import functools
 import math
+import os
+
+# The axon remote-compile helper for Pallas/Mosaic needs these identifiers;
+# they are harmless on other backends.
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("TPU_WORKER_ID", "0")
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +69,11 @@ def _kernel(s_ref, in_ref, out_ref, *, width: int, n_cand: int):
 
     # Sample x + s -> padded index x + f + PAD; after rotating left by
     # (base + PAD), candidate d needs rolled[:, x + d] (+1 for the lerp tap).
-    rolled = pltpu.roll(rows, -(base + PAD), 1)
+    # pltpu.roll is a RIGHT-roll and a dynamic negative shift silently
+    # miscompiles to zeros on this Mosaic stack, so express the left-roll as
+    # its positive complement modulo the padded width.
+    wp = rows.shape[-1]
+    rolled = pltpu.roll(rows, (wp - (base + PAD)) % wp, 1)
 
     dtype = rolled.dtype
     t_col = t[:, None].astype(dtype)

@@ -117,22 +117,80 @@ def _pallas_available() -> bool:
         return False
 
 
+def _pallas_self_test() -> bool:
+    """One-time compiled-vs-XLA agreement check on a tiny shear.
+
+    The TPU toolchain has a history of silent miscompiles in exactly this
+    kernel's territory (dynamic lane ops: NOTES.md records two — misaligned
+    dynamic lane slices reading zeros, and dynamic negative pltpu.roll shifts
+    zeroing the output). A wrong warp corrupts every downstream SR result
+    while remaining plausible-looking, so the first Pallas use pays a ~1 s
+    compile to prove the installed stack against the XLA reference; on
+    mismatch we warn and fall back to the (slower, correct) XLA path.
+    """
+    import warnings
+
+    import numpy as np
+
+    from .pallas_shear import BLOCK_ROWS, shear_rows_pallas
+
+    try:
+        rng = np.random.default_rng(0)
+        h, w = BLOCK_ROWS, 128
+        img = jnp.asarray(rng.uniform(0, 1, (1, h, w)).astype(np.float32))
+        s = jnp.asarray((np.linspace(-2.0, 2.0, h)[None, :] - 7.25)
+                        .astype(np.float32))
+        got = np.asarray(shear_rows_pallas(img, s, 8))
+        want = np.asarray(_shear_rows(img[..., None], s, 8))[..., 0]
+        if not np.allclose(got, want, atol=1e-5):
+            warnings.warn(
+                "Pallas shear kernel disagrees with the XLA reference on this "
+                "backend (max err "
+                f"{float(np.abs(got - want).max()):.3g}); falling back to the "
+                "XLA shear path. Set DSR_DISABLE_PALLAS=1 to silence.")
+            return False
+        return True
+    except Exception as exc:  # compile/runtime failure -> fall back
+        warnings.warn(f"Pallas shear kernel unavailable ({exc!r}); using the "
+                      "XLA shear path.")
+        return False
+
+
 _USE_PALLAS = None
 
 
 def _use_pallas() -> bool:
     global _USE_PALLAS
     if _USE_PALLAS is None:
-        _USE_PALLAS = _pallas_available()
+        ok = _pallas_available()
+        if ok:
+            # The first consult usually happens while tracing a caller's jit;
+            # JAX trace state is thread-local, so run the probe in a fresh
+            # thread to execute it for real instead of staging it.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                ok = pool.submit(_pallas_self_test).result()
+        _USE_PALLAS = ok
     return _USE_PALLAS
 
 
 def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float, span: int, n_cand: int) -> jnp.ndarray:
-    """Row shift s(n, y) = coef[n] * (y - center) + offset[n]."""
+                  center: float, span: int, n_cand: int,
+                  interpolation: str = "bilinear") -> jnp.ndarray:
+    """Row shift s(n, y) = coef[n] * (y - center) + offset[n].
+
+    interpolation="nearest" rounds each row's shift to an integer, so the
+    2-tap lerp degenerates to exact single-tap selection (weights are exactly
+    {0, 1}) — no blending, output values are a subset of input values. Used
+    for label/GT images (reference warps GT with nearest,
+    check_robustness.py:47-50).
+    """
     n, h, w, c = images.shape
     y = jnp.arange(h, dtype=jnp.float32)
     s = coef[:, None] * (y[None, :] - center) + offset[:, None]
+    if interpolation == "nearest":
+        s = jnp.round(s)
     s = jax.lax.stop_gradient(s)
     from .pallas_shear import BLOCK_ROWS
     if _use_pallas() and h % BLOCK_ROWS == 0 and w % 8 == 0:
@@ -146,9 +204,11 @@ def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
 
 
 def _shear_pass_y(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
-                  center: float, span: int, n_cand: int) -> jnp.ndarray:
+                  center: float, span: int, n_cand: int,
+                  interpolation: str = "bilinear") -> jnp.ndarray:
     swapped = jnp.swapaxes(images, 1, 2)
-    out = _shear_pass_x(swapped, coef, offset, center, span, n_cand)
+    out = _shear_pass_x(swapped, coef, offset, center, span, n_cand,
+                        interpolation)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -159,15 +219,22 @@ def shear_taps(angle_max: float, size: int) -> int:
     return int(math.ceil(coef * size)) + 3
 
 
-@partial(jax.jit, static_argnames=("angle_max",))
+@partial(jax.jit, static_argnames=("angle_max", "interpolation"))
 def paeth_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
                            shifts: jnp.ndarray,
-                           angle_max: float = 0.35) -> jnp.ndarray:
+                           angle_max: float = 0.35,
+                           interpolation: str = "bilinear") -> jnp.ndarray:
     """tfa-style rotate(angles) followed by translate(shifts), as shears.
 
     images: (N, H, W) or (N, H, W, C); angles (N,) rad CCW; shifts (N, 2)
     as (dx, dy) pixels. angle_max is a STATIC bound on |angles| sizing the
     static tap windows (larger is correct but slower).
+
+    interpolation="nearest" rounds each shear pass's row shift, making the
+    warp a pure pixel permutation-with-fill: output labels are a subset of
+    input labels (use for GT masks). Geometry differs from a single-resample
+    nearest warp by at most the per-pass rounding (<~1.5 px), with no label
+    blending anywhere.
     """
     squeeze = images.ndim == 3
     if squeeze:
@@ -206,16 +273,17 @@ def paeth_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
     coef_max = max(abs(math.tan(am / 2.0)), abs(math.sin(am)))
     n_cand = candidates_for(coef_max)
 
-    out = _shear_pass_x(images, a, off_a, cy, span_x, n_cand)
-    out = _shear_pass_y(out, b, off_b, cx, span_y, n_cand)
-    out = _shear_pass_x(out, a, off_c, cy, span_x, n_cand)
+    out = _shear_pass_x(images, a, off_a, cy, span_x, n_cand, interpolation)
+    out = _shear_pass_y(out, b, off_b, cx, span_y, n_cand, interpolation)
+    out = _shear_pass_x(out, a, off_c, cy, span_x, n_cand, interpolation)
     return out[..., 0] if squeeze else out
 
 
-@partial(jax.jit, static_argnames=("angle_max",))
+@partial(jax.jit, static_argnames=("angle_max", "interpolation"))
 def paeth_inverse_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
                                    shifts: jnp.ndarray,
-                                   angle_max: float = 0.35) -> jnp.ndarray:
+                                   angle_max: float = 0.35,
+                                   interpolation: str = "bilinear") -> jnp.ndarray:
     """Inverse warp translate(-shifts) then rotate(-angles), i.e. the max/mean
     SR un-augmentation path (reference superresolution.py:139-161).
 
@@ -230,4 +298,5 @@ def paeth_inverse_rotate_translate(images: jnp.ndarray, angles: jnp.ndarray,
     sin = jnp.sin(angles)
     dx, dy = shifts[:, 0], shifts[:, 1]
     rot_d = jnp.stack([cos * dx - sin * dy, sin * dx + cos * dy], axis=-1)
-    return paeth_rotate_translate(images, -angles, -rot_d, angle_max)
+    return paeth_rotate_translate(images, -angles, -rot_d, angle_max,
+                                  interpolation)

@@ -82,6 +82,60 @@ def test_inverse_matches_gather_inverse():
     assert err < 0.25, f"roundtrip interior err {err}"
 
 
+def _label_batch():
+    """A VOC-style label map: background 0, class 8 blob, 255 ignore ring."""
+    gt = np.zeros((2, 96, 96, 1), np.float32)
+    gt[:, 30:70, 25:75] = 8.0
+    gt[:, 28:30, 23:77] = 255.0
+    gt[:, 70:72, 23:77] = 255.0
+    gt[:, 28:72, 23:25] = 255.0
+    gt[:, 28:72, 75:77] = 255.0
+    return gt
+
+
+def test_nearest_warp_preserves_label_set():
+    """interpolation="nearest" never invents labels: every output value must
+    already exist in the input (or be the 0 fill) — the property the
+    reference's GT warps rely on (check_robustness.py:47-50)."""
+    gt = _label_batch()
+    angles = np.array([0.37, -0.52], np.float32)
+    shifts = np.array([[17.3, -9.6], [-31.0, 24.5]], np.float32)
+    out = np.asarray(paeth_rotate_translate(jnp.asarray(gt), angles, shifts,
+                                            0.6, interpolation="nearest"))
+    assert set(np.unique(out)) <= {0.0, 8.0, 255.0}, np.unique(out)
+    # Bilinear on the same input DOES invent labels (sanity of the property).
+    blended = np.asarray(paeth_rotate_translate(jnp.asarray(gt), angles,
+                                                shifts, 0.6))
+    assert not set(np.unique(np.round(blended))) <= {0.0, 8.0, 255.0}
+
+
+def test_nearest_warp_matches_gather_nearest():
+    """Per-pass rounding vs single-resample nearest: disagreement is confined
+    to the ~1px rounding band at label boundaries."""
+    gt = _label_batch()
+    angles = np.array([0.2, -0.3], np.float32)
+    shifts = np.array([[6.0, -4.0], [-3.0, 9.0]], np.float32)
+    ours = np.asarray(paeth_rotate_translate(jnp.asarray(gt), angles, shifts,
+                                             0.35, interpolation="nearest"))
+    ref = np.asarray(translate(rotate(jnp.asarray(gt), angles,
+                                      interpolation="nearest"),
+                               shifts, interpolation="nearest"))
+    agree = (ours == ref).mean()
+    assert agree > 0.97, f"agreement {agree}"
+    # The class-8 region overlaps at IoU > 0.95.
+    inter = ((ours == 8) & (ref == 8)).sum()
+    union = ((ours == 8) | (ref == 8)).sum()
+    assert inter / union > 0.95, f"class IoU {inter / union}"
+
+
+def test_nearest_identity_is_exact():
+    gt = _label_batch()
+    out = np.asarray(paeth_rotate_translate(
+        jnp.asarray(gt), np.zeros(2, np.float32), np.zeros((2, 2), np.float32),
+        0.3, interpolation="nearest"))
+    np.testing.assert_array_equal(out, gt)
+
+
 def test_differentiable_no_nans():
     imgs = jnp.asarray(_smooth_batch(2, size=32, seed=3))
     angles = jnp.asarray([0.1, -0.2])
