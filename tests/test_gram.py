@@ -49,6 +49,34 @@ def test_stencil_matches_direct_normal_operator():
     np.testing.assert_allclose(via_stencil, direct, rtol=2e-4, atol=2e-4)
 
 
+def test_stencil_exact_at_production_shape():
+    """512x512 / angle_max 0.5 / shifts +-80 — the CLI default configuration
+    (cli/_common.py) and the worst case for the static stencil radii
+    (RADIUS_Y/X) and the shear _PAD clipping. Uses extreme corner angles and
+    shifts rather than random draws to stress the support bound."""
+    angles = jnp.asarray([0.5, -0.5, 0.49, -0.32, 0.11, 0.0], jnp.float32)
+    shifts = jnp.asarray([[80, -80], [-80, 80], [79, 79], [-45, 60],
+                          [12, -70], [0, 0]], jnp.float32)
+    cfg = SRConfig(num_aug=6, feature_size=(128, 128), output_size=(512, 512),
+                   angle_max=0.5, num_iter=10,
+                   optimizer=OptimizerConfig(learning_rate=1e-2))
+
+    def fwd(z):
+        return forward_operator(z, angles, shifts, cfg.feature_size, cfg)
+
+    def normal_op(x):
+        out, vjp = jax.vjp(fwd, x)
+        return vjp(out)[0]
+
+    coeffs = extract_gram_stencil(normal_op, cfg.output_size)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 512, 512, 1)).astype(np.float32))
+    direct = np.asarray(normal_op(x))
+    via = np.asarray(apply_gram(x, coeffs))
+    scale = np.abs(direct).max()
+    np.testing.assert_allclose(via, direct, atol=1e-5 * scale)
+
+
 def test_gram_solve_matches_direct_solve():
     """The gram solver follows the same optimization trajectory as the direct
     solver (identical objective and gradients up to float reassociation)."""
