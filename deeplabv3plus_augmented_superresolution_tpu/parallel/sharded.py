@@ -10,14 +10,37 @@ The reference has no distributed path at all (SURVEY.md §2 row
 "Parallelism"); this module is the new-by-design scaling component.
 """
 
+import dataclasses
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.deeplab import DeepLabConfig
 from ..pipeline.end_to_end import asr_step
 from ..sr.solver import SRConfig
+
+
+def padded_aug_count(num_aug: int, mesh: Mesh) -> int:
+    """Smallest multiple of the "aug" axis size >= num_aug. GSPMD requires
+    the sharded dimension divisible by the axis size, so non-divisible copy
+    counts (e.g. the production 100 copies on 8 shards) run padded; the
+    padded copies are identity transforms that every data term zero-weights
+    (SRConfig.num_valid)."""
+    aug = mesh.shape["aug"]
+    return -(-num_aug // aug) * aug
+
+
+def _padded_cfg(sr_cfg: SRConfig, mesh: Mesh) -> SRConfig:
+    padded = padded_aug_count(sr_cfg.num_aug, mesh)
+    if padded == sr_cfg.num_aug:
+        return sr_cfg
+    if sr_cfg.num_valid:
+        raise ValueError("sr_cfg.num_valid is managed by the parallel layer; "
+                         "pass the real copy count as num_aug")
+    return dataclasses.replace(sr_cfg, num_aug=padded,
+                               num_valid=sr_cfg.num_aug)
 
 
 def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
@@ -30,7 +53,11 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
     images: (B, H, W, 3) sharded on "data";
     angles: (B, N), shifts: (B, N, 2) sharded on ("data", "aug");
     outputs: (B, H, W, 1) per SR type, sharded on "data".
+
+    N here is the PADDED copy count (shard_batch pads the host arrays when
+    sr_cfg.num_aug does not divide the aug axis).
     """
+    sr_cfg = _padded_cfg(sr_cfg, mesh)
 
     def batch_fn(params, images, angles, shifts):
         def per_image(image, a, s):
@@ -51,7 +78,17 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
 
 
 def shard_batch(mesh: Mesh, params, images, angles, shifts):
-    """Device-put a host batch with the canonical shardings."""
+    """Device-put a host batch with the canonical shardings.
+
+    Pads the copy axis of angles/shifts with identity transforms up to a
+    multiple of the "aug" axis size (matching make_asr_batch_fn's padded
+    SRConfig) when needed.
+    """
+    padded = padded_aug_count(angles.shape[1], mesh)
+    if padded != angles.shape[1]:
+        extra = padded - angles.shape[1]
+        angles = jnp.pad(angles, ((0, 0), (0, extra)))
+        shifts = jnp.pad(shifts, ((0, 0), (0, extra), (0, 0)))
     params = jax.device_put(params, NamedSharding(mesh, P()))
     images = jax.device_put(images, NamedSharding(mesh, P("data")))
     angles = jax.device_put(angles, NamedSharding(mesh, P("data", "aug")))

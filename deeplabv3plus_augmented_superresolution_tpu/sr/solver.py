@@ -82,6 +82,17 @@ class SRConfig:
     # data terms do not hurt IoU (argmax_500_sweep_all best run used
     # copy_dropout=0.1 — BASELINE.md row "Best sweep-all result").
     sgd_copies: int = 0
+    # Number of REAL copies when the aug axis is padded for mesh sharding
+    # (GSPMD needs the sharded dim divisible by the "aug" axis size, so e.g.
+    # 100 copies on 8 shards run as num_aug=104 / num_valid=100 with
+    # identity-transform padding). 0 = all num_aug copies are real. Padded
+    # copies (indices >= num_valid) are zero-weighted in every data term and
+    # excluded from max/mean reductions.
+    num_valid: int = 0
+
+    @property
+    def n_valid(self) -> int:
+        return self.num_valid or self.num_aug
 
 
 def _warp_batch(images: jnp.ndarray, angles: jnp.ndarray, shifts: jnp.ndarray,
@@ -138,12 +149,24 @@ def sr_loss(target: jnp.ndarray, lr_masks: jnp.ndarray, angles: jnp.ndarray,
     return loss
 
 
-def _dropout_weights(key: Optional[jax.Array], cfg: SRConfig) -> Optional[jnp.ndarray]:
-    n_drop = int(cfg.num_aug * cfg.copy_dropout)
-    if n_drop == 0 or key is None:
+def _valid_weights(cfg: SRConfig) -> Optional[jnp.ndarray]:
+    """0/1 mask of real copies, or None when the aug axis is unpadded."""
+    if cfg.n_valid == cfg.num_aug:
         return None
-    base = jnp.concatenate([jnp.zeros(n_drop), jnp.ones(cfg.num_aug - n_drop)])
-    return jax.random.permutation(key, base)
+    return (jnp.arange(cfg.num_aug) < cfg.n_valid).astype(jnp.float32)
+
+
+def _dropout_weights(key: Optional[jax.Array], cfg: SRConfig) -> Optional[jnp.ndarray]:
+    n_valid = cfg.n_valid
+    n_drop = int(n_valid * cfg.copy_dropout)
+    if n_drop == 0 or key is None:
+        return _valid_weights(cfg)
+    base = jnp.concatenate([jnp.zeros(n_drop), jnp.ones(n_valid - n_drop)])
+    weights = jax.random.permutation(key, base)
+    if n_valid < cfg.num_aug:
+        weights = jnp.concatenate(
+            [weights, jnp.zeros(cfg.num_aug - n_valid)])
+    return weights
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -163,7 +186,8 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     opt = make_optimizer(cfg.optimizer)
     opt_state = opt.init(target)
 
-    minibatch = 0 < cfg.sgd_copies < cfg.num_aug
+    n_valid = cfg.n_valid
+    minibatch = 0 < cfg.sgd_copies < n_valid
 
     if cfg.solver_impl == "gram" and not minibatch:
         return _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
@@ -171,12 +195,21 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     base_key = dropout_key if dropout_key is not None else jax.random.key(0)
 
     if minibatch:
+        # Minibatch windows draw from the REAL copies only (padded tail
+        # dropped by static slice), so every window is fully valid.
+        lr_masks, angles, shifts = (lr_masks[:n_valid], angles[:n_valid],
+                                    shifts[:n_valid])
+        if copy_weights is not None:
+            if int(n_valid * cfg.copy_dropout) == 0 or dropout_key is None:
+                copy_weights = None  # padding-only mask: all-ones after slice
+            else:
+                copy_weights = copy_weights[:n_valid]
         # One upfront permutation; each iteration takes a contiguous rolling
         # window of the shuffled copies (per-iteration index gathers are
         # needlessly slow on TPU, and cycling a shuffled order is standard
         # minibatch practice).
         perm = jax.random.permutation(jax.random.fold_in(base_key, 997),
-                                      cfg.num_aug)
+                                      n_valid)
         lr_masks = jnp.take(lr_masks, perm, axis=0)
         angles = jnp.take(angles, perm, axis=0)
         shifts = jnp.take(shifts, perm, axis=0)
@@ -193,14 +226,14 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     def step(carry, it):
         tgt, state = carry
         if minibatch:
-            start = (it * cfg.sgd_copies) % cfg.num_aug
+            start = (it * cfg.sgd_copies) % n_valid
             lm = jax.lax.dynamic_slice_in_dim(lr_masks, start, cfg.sgd_copies, 0)
             an = jax.lax.dynamic_slice_in_dim(angles, start, cfg.sgd_copies, 0)
             sh = jax.lax.dynamic_slice_in_dim(shifts, start, cfg.sgd_copies, 0)
             cw = (jax.lax.dynamic_slice_in_dim(copy_weights, start,
                                                cfg.sgd_copies, 0)
                   if copy_weights is not None else None)
-            scale = cfg.num_aug / cfg.sgd_copies
+            scale = n_valid / cfg.sgd_copies
         else:
             lm, an, sh, cw, scale = lr_masks, angles, shifts, copy_weights, 1.0
         loss, grads = jax.value_and_grad(sr_loss)(
@@ -267,26 +300,33 @@ def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
     return target[0], losses[-1]
 
 
-def _inverse_warp_reduce(lr_masks, angles, shifts, cfg: SRConfig, reduce_fn):
+def _inverse_warp(lr_masks, angles, shifts, cfg: SRConfig):
     """Shared body of max/mean SR (reference superresolution.py:139-161):
-    upsample all copies, undo translation then rotation, reduce over copies."""
+    upsample all copies, undo translation then rotation."""
     up = resize(lr_masks, cfg.output_size, method="bilinear")
     if cfg.warp_impl == "shear":
         from ..ops.shear_warp import paeth_inverse_rotate_translate
-        up = paeth_inverse_rotate_translate(up, angles, shifts, cfg.angle_max)
-    else:
-        up = rotate(translate(up, -shifts), -angles)
-    return reduce_fn(up, axis=0), None
+        return paeth_inverse_rotate_translate(up, angles, shifts, cfg.angle_max)
+    return rotate(translate(up, -shifts), -angles)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def max_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
-    return _inverse_warp_reduce(lr_masks, angles, shifts, cfg, jnp.max)
+    up = _inverse_warp(lr_masks, angles, shifts, cfg)
+    valid = _valid_weights(cfg)
+    if valid is not None:  # padded copies must not win the max
+        up = jnp.where(valid[:, None, None, None] > 0, up, -jnp.inf)
+    return jnp.max(up, axis=0), None
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def mean_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
-    return _inverse_warp_reduce(lr_masks, angles, shifts, cfg, jnp.mean)
+    up = _inverse_warp(lr_masks, angles, shifts, cfg)
+    valid = _valid_weights(cfg)
+    if valid is None:
+        return jnp.mean(up, axis=0), None
+    mean = jnp.sum(up * valid[:, None, None, None], axis=0) / cfg.n_valid
+    return mean, None
 
 
 SR_FUNCTIONS = {

@@ -78,6 +78,65 @@ def test_aug_axis_only_mesh(small_setup):
     assert out["mean"].shape == (1, 64, 64, 1)
 
 
+def test_aug_sharding_distributes_not_replicates(small_setup):
+    """Guard against GSPMD silently replicating the per-copy warp work: the
+    compiled program on an aug=8 mesh must contain cross-device reductions
+    (the psum over copies in the df grad) and its per-device temp footprint
+    must shrink by ~the shard count vs the same program on one device."""
+    cfg, params, sr_cfg = small_setup
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    a, s = sample_augmentations(jax.random.key(0), 8, 0.2, 4.0)
+    a, s = a[None], s[None]
+
+    def compiled_on(mesh_shape, ndev):
+        mesh = make_mesh(jax.devices()[:ndev], shape=mesh_shape)
+        fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, sr_types=("aug",))
+        args = shard_batch(mesh, params, images, a, s)
+        return fn.lower(*args).compile()
+
+    comp8 = compiled_on((1, 8), 8)
+    comp1 = compiled_on((1, 1), 1)
+
+    txt = comp8.as_text()
+    n_collectives = txt.count("all-reduce") + txt.count("reduce-scatter")
+    assert n_collectives > 0, "no cross-device reduction in the aug-sharded program"
+
+    temp8 = comp8.memory_analysis().temp_size_in_bytes
+    temp1 = comp1.memory_analysis().temp_size_in_bytes
+    assert temp8 < 0.3 * temp1, (
+        f"per-device temp {temp8} vs single-device {temp1}: aug work appears "
+        "replicated, not sharded")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_uneven_aug_shards_at_production_copy_count(small_setup, mesh_shape):
+    """num_aug=100 does not divide the aug axis (100/8, 100/4): GSPMD pads the
+    shards; results must still match the unsharded path."""
+    import dataclasses
+
+    cfg, params, sr_cfg = small_setup
+    sr_cfg = dataclasses.replace(sr_cfg, num_aug=100, num_iter=2)
+    batch = mesh_shape[0]
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(11), batch)
+    angles = jnp.stack([sample_augmentations(k, 100, 0.2, 4.0)[0] for k in keys])
+    shifts = jnp.stack([sample_augmentations(k, 100, 0.2, 4.0)[1] for k in keys])
+
+    mesh = make_mesh(shape=mesh_shape)
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8,
+                           sr_types=("aug", "mean"))
+    out = fn(*shard_batch(mesh, params, images, angles, shifts))
+
+    single = asr_step(params, images[0], angles[0], shifts[0], cfg, sr_cfg,
+                      class_id=8, mode="argmax", th_factor=0.15,
+                      sr_types=("aug", "mean"))
+    for k in single:
+        np.testing.assert_allclose(np.asarray(out[k][0]), np.asarray(single[k]),
+                                   atol=2e-2, err_msg=f"{k} @ mesh {mesh_shape}")
+
+
 def test_sharded_batch_with_gram_solver(small_setup):
     """The gram solver's probe extraction composes with vmap + mesh sharding."""
     import dataclasses
