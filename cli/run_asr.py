@@ -34,6 +34,13 @@ parser.add_argument("--sr_types", type=str, default="aug",
                     help="comma list of aug,max,mean")
 parser.add_argument("--fast", action="store_true",
                     help="tuned fast preset: 60 iters, lr 1e-2, 25-copy minibatch")
+parser.add_argument("--per_image_augs", action="store_true",
+                    help="draw a fresh random augmentation set per image "
+                         "(reference behavior). Default: one fixed TTA set "
+                         "for the whole run, which lets the gram solver "
+                         "precompute its stencil once instead of per image")
+parser.add_argument("--prefetch", type=int, default=4,
+                    help="host-side image decode lookahead (0 disables)")
 parser.add_argument("--weights_path", type=str, default=None)
 parser.add_argument("--limit", type=int, default=None)
 add_sr_args(parser)
@@ -82,26 +89,79 @@ def main():
 
     from deeplabv3plus_augmented_superresolution_tpu.utils import device_resilient
 
+    # Fixed TTA set (default): one (angles, shifts) draw for the run, so the
+    # gram solver's probe extraction happens ONCE here instead of inside every
+    # per-image program. Statistically equivalent to per-image draws (the
+    # reference redraws only because np.random state advances between images).
+    shared = not args.per_image_augs
+    gram_coeffs = None
+    if shared:
+        angles_s, shifts_s = sample_augmentations(
+            jax.random.key(SEED), args.num_aug, args.angle_max, args.shift_max)
+        if (sr_cfg.solver_impl == "gram" and "aug" in sr_types
+                and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug)):
+            from deeplabv3plus_augmented_superresolution_tpu.sr import (
+                precompute_gram_stencil,
+            )
+            t0 = time.time()
+            gram_coeffs = jax.jit(precompute_gram_stencil,
+                                  static_argnames=("cfg",))(
+                angles_s, shifts_s, sr_cfg)
+            gram_coeffs.block_until_ready()
+            print(f"gram stencil precomputed once in {time.time() - t0:.1f}s "
+                  "(amortized across all images)")
+
     @device_resilient(max_retries=2)
     def run_one(image, angles, shifts):
         out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
                        class_id=args.class_id, mode=args.mode,
-                       th_factor=args.th_factor, sr_types=sr_types)
+                       th_factor=args.th_factor, sr_types=sr_types,
+                       gram_coeffs=gram_coeffs)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def load_one(path):
+        name = os.path.splitext(os.path.basename(path))[0]
+        image = load_image(path, image_size=IMG_SIZE, normalize=True)
+        if shared:
+            angles, shifts = angles_s, shifts_s
+        else:
+            key = jax.random.fold_in(jax.random.key(SEED),
+                                     abs(hash(name)) % (2 ** 31))
+            angles, shifts = sample_augmentations(key, args.num_aug,
+                                                  args.angle_max,
+                                                  args.shift_max)
+        return name, image, angles, shifts
+
+    def inputs():
+        """Host decode overlapped with device compute via a lookahead queue."""
+        if args.prefetch <= 0:
+            for p in paths:
+                yield load_one(p)
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=args.prefetch)
+
+        def producer():
+            for p in paths:
+                q.put(load_one(p))
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while (item := q.get()) is not None:
+            yield item
 
     os.makedirs(args.output_dir, exist_ok=True)
     ious = {k: [] for k in sr_types + ("standard",)}
     start = time.time()
+    steady_start = None
     n_done = 0
-    for path in tqdm(paths):
-        name = os.path.splitext(os.path.basename(path))[0]
-        image = load_image(path, image_size=IMG_SIZE, normalize=True)
-        key = jax.random.fold_in(jax.random.key(SEED),
-                                 abs(hash(name)) % (2 ** 31))
-        angles, shifts = sample_augmentations(key, args.num_aug,
-                                              args.angle_max, args.shift_max)
+    for name, image, angles, shifts in tqdm(inputs(), total=len(paths)):
         out = run_one(image, angles, shifts)
         n_done += 1
+        if steady_start is None:
+            steady_start = time.time()  # first image paid the compile
         for k, mask in out.items():
             save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
                      mask, scale=False)
@@ -114,8 +174,12 @@ def main():
                     ious[k].append(compute_iou(gt, mask, class_id=args.class_id))
 
     wall = time.time() - start
-    print(f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "
-          "first compile); masks under " + args.output_dir)
+    msg = (f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "
+           "first compile")
+    if n_done > 1 and steady_start is not None:
+        steady = (n_done - 1) / max(time.time() - steady_start, 1e-9)
+        msg += f"; {steady:.2f} img/s steady-state"
+    print(msg + "); masks under " + args.output_dir)
     for k, vals in ious.items():
         if vals:
             print(f"  avg IoU[{k}]: {float(np.mean(vals)):.4f} (n={len(vals)})")

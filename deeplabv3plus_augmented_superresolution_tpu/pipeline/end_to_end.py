@@ -45,10 +45,15 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
              global_normalize: bool = True,
              sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
              chunk_size: int = 0,
-             dropout_key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+             dropout_key: Optional[jax.Array] = None,
+             gram_coeffs: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
     """Full ASR for one image. Returns thresholded HR masks per SR type plus
     the 'standard' baseline mask, all (H, W, 1) float32 with values
-    {0, class_id}."""
+    {0, class_id}.
+
+    gram_coeffs: optional precomputed Gram stencil (sr.precompute_gram_stencil)
+    for serving with a fixed augmentation set — hoists the probe extraction
+    out of the per-image program."""
     num_aug = sr_cfg.num_aug
     copies = make_augmented_copies(image, angles, shifts, num_aug,
                                    warp_impl=sr_cfg.warp_impl,
@@ -68,7 +73,8 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
     results: Dict[str, jnp.ndarray] = {}
     for sr_type in sr_types:
         fn = _SR_FNS[sr_type]
-        kwargs = {"dropout_key": dropout_key} if sr_type == "aug" else {}
+        kwargs = ({"dropout_key": dropout_key, "gram_coeffs": gram_coeffs}
+                  if sr_type == "aug" else {})
         target_class, _ = fn(class_masks, angles, shifts, sr_cfg, **kwargs)
         if mode == "slice_max" and max_masks is not None:
             target_max, _ = fn(max_masks, angles, shifts, sr_cfg, **kwargs)

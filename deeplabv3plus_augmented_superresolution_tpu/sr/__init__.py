@@ -3,6 +3,7 @@ from .solver import (
     SRConfig,
     SR_FUNCTIONS,
     augmented_superresolution,
+    precompute_gram_stencil,
     forward_operator,
     max_superresolution,
     mean_superresolution,
@@ -17,6 +18,7 @@ __all__ = [
     "SRConfig",
     "SR_FUNCTIONS",
     "augmented_superresolution",
+    "precompute_gram_stencil",
     "forward_operator",
     "max_superresolution",
     "mean_superresolution",

@@ -169,16 +169,49 @@ def _dropout_weights(key: Optional[jax.Array], cfg: SRConfig) -> Optional[jnp.nd
     return weights
 
 
+def precompute_gram_stencil(angles: jnp.ndarray, shifts: jnp.ndarray,
+                            cfg: SRConfig) -> jnp.ndarray:
+    """Stencil coefficients of G = sum_i A_i^T A_i for a FIXED augmentation
+    set, reusable across every solve that shares (angles, shifts, cfg) —
+    image content only enters through b = A^T y, which stays per-solve.
+
+    This is the serving-mode amortization: the reference redraws augmentations
+    per image only as a side effect of advancing np.random state
+    (generate_augmented_copies.py:41-44 seeds once per run); a fixed TTA set
+    is statistically equivalent (tests/test_solver.py) and hoists the
+    extraction out of the per-image loop entirely.
+    """
+    from ..ops.gram import extract_gram_stencil
+
+    valid = _valid_weights(cfg)
+
+    def fwd(z):
+        out = forward_operator(z, angles, shifts, cfg.feature_size, cfg)
+        return out * valid[:, None, None, None] if valid is not None else out
+
+    def normal_op(x):
+        out, vjp = jax.vjp(fwd, x)
+        return vjp(out)[0]
+
+    return extract_gram_stencil(normal_op, tuple(cfg.output_size))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
                               shifts: jnp.ndarray, cfg: SRConfig,
-                              dropout_key: Optional[jax.Array] = None
+                              dropout_key: Optional[jax.Array] = None,
+                              gram_coeffs: Optional[jnp.ndarray] = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve argmin_x sr_loss by cfg.num_iter optax steps (lax.scan).
 
     lr_masks: (num_aug, h, w, 1) normalized LR masks; returns
     ((H, W, 1) HR estimate, final loss). Initialization is the bilinear
     upsample of the first (identity) copy (reference superresolution.py:112-114).
+
+    gram_coeffs: optional precomputed stencil from precompute_gram_stencil
+    (solver_impl="gram" only); skips the per-solve probe extraction. Must
+    have been extracted for the SAME (angles, shifts, cfg); incompatible with
+    copy_dropout, whose mask changes per solve.
     """
     target = resize(lr_masks[0], cfg.output_size, method="bilinear")[None]
     copy_weights = _dropout_weights(dropout_key, cfg)
@@ -191,7 +224,10 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
 
     if cfg.solver_impl == "gram" and not minibatch:
         return _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
-                           cfg, copy_weights)
+                           cfg, copy_weights, gram_coeffs)
+    if gram_coeffs is not None:
+        raise ValueError("gram_coeffs requires solver_impl='gram' without "
+                         "copy minibatching")
     base_key = dropout_key if dropout_key is not None else jax.random.key(0)
 
     if minibatch:
@@ -248,7 +284,7 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
 
 
 def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
-                cfg: SRConfig, copy_weights):
+                cfg: SRConfig, copy_weights, gram_coeffs=None):
     """Adam loop with the data-term gradient from the precomputed Gram
     stencil: exact same objective/gradients as the direct path."""
     from ..ops.gram import RADIUS_X, RADIUS_Y, apply_gram, extract_gram_stencil
@@ -267,7 +303,13 @@ def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
         out, vjp = jax.vjp(masked_forward, x)
         return vjp(out)[0]
 
-    coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size), ry, rx)
+    if gram_coeffs is not None:
+        if int(cfg.n_valid * cfg.copy_dropout) > 0:
+            raise ValueError("precomputed gram_coeffs cannot be combined with "
+                             "copy_dropout (the mask changes per solve)")
+        coeffs = gram_coeffs
+    else:
+        coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size), ry, rx)
 
     _, vjp0 = jax.vjp(masked_forward, jnp.zeros_like(target))
     masked_y = (lr_masks * mask_w[:, None, None, None]

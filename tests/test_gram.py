@@ -96,6 +96,94 @@ def test_gram_solve_matches_direct_solve():
                                atol=5e-3)
 
 
+def test_precomputed_stencil_solve_matches_inline_extraction():
+    """Passing precompute_gram_stencil's coefficients into the solve must
+    reproduce the inline-extraction gram solve exactly (serving-mode path)."""
+    import dataclasses
+
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        precompute_gram_stencil,
+    )
+
+    cfg, angles, shifts, rng = _setup()
+    cfg = dataclasses.replace(cfg, solver_impl="gram")
+    masks = forward_operator(
+        jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)),
+        angles, shifts, cfg.feature_size, cfg)
+
+    inline, loss_i = augmented_superresolution(masks, angles, shifts, cfg)
+    coeffs = precompute_gram_stencil(angles, shifts, cfg)
+    shared, loss_s = augmented_superresolution(masks, angles, shifts, cfg,
+                                               gram_coeffs=coeffs)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(inline),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(loss_s), float(loss_i), rtol=1e-6)
+
+
+def test_shared_tta_set_quality_equivalent():
+    """A single fixed augmentation set reused across images recovers masks as
+    well as per-image random sets (the run_asr serving default). Checked on
+    the synthetic-recovery suite over several distinct ground truths."""
+    import dataclasses
+
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        precompute_gram_stencil,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr.postprocess import (
+        threshold_image,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+        single_class_iou,
+    )
+
+    hr, lr, n = 64, 16, 24
+    base_cfg = SRConfig(lambda_df=1.0, lambda_tv=0.05, lambda_L2=0.01,
+                        num_iter=150, num_aug=n, feature_size=(lr, lr),
+                        output_size=(hr, hr), angle_max=0.3,
+                        solver_impl="gram",
+                        optimizer=OptimizerConfig(learning_rate=5e-2,
+                                                  amsgrad=True))
+
+    def gts():
+        shapes = [((18, 44), (14, 50)), ((8, 30), (26, 58)), ((30, 56), (6, 34))]
+        for (y0, y1), (x0, x1) in shapes:
+            gt = np.zeros((hr, hr, 1), np.float32)
+            gt[y0:y1, x0:x1] = 1.0
+            yield gt
+
+    def solve_iou(gt, angles, shifts, coeffs=None):
+        masks = forward_operator(jnp.asarray(gt)[None], angles, shifts,
+                                 (lr, lr), base_cfg)
+        est, _ = augmented_superresolution(masks, angles, shifts, base_cfg,
+                                           gram_coeffs=coeffs)
+        est_mask = np.asarray(threshold_image(est, 8, th_factor=0.5))
+        gt_mask = (gt[..., 0] * 8).astype(np.int32)
+        return float(single_class_iou(gt_mask, est_mask[..., 0], 8))
+
+    rng = np.random.default_rng(0)
+
+    def draw(seed):
+        r = np.random.default_rng(seed)
+        a = r.uniform(-0.25, 0.25, n).astype(np.float32)
+        s = r.uniform(-6, 6, (n, 2)).astype(np.float32)
+        a[0] = 0.0
+        s[0] = 0.0
+        return jnp.asarray(a), jnp.asarray(s)
+
+    a_shared, s_shared = draw(123)
+    coeffs = precompute_gram_stencil(a_shared, s_shared, base_cfg)
+
+    shared_ious, fresh_ious = [], []
+    for i, gt in enumerate(gts()):
+        shared_ious.append(solve_iou(gt, a_shared, s_shared, coeffs))
+        a_i, s_i = draw(1000 + i)
+        fresh_ious.append(solve_iou(gt, a_i, s_i))
+
+    assert min(shared_ious) > 0.9, shared_ious
+    assert abs(np.mean(shared_ious) - np.mean(fresh_ious)) < 0.03, (
+        shared_ious, fresh_ious)
+
+
 def test_gram_solve_with_copy_dropout():
     import dataclasses
 
