@@ -110,7 +110,7 @@ def main():
 
     gram_coeffs = None
     minibatch = 0 < sgd_copies < num_aug
-    if not strict and solver_impl == "gram" and not minibatch:
+    if not strict and solver_impl in ("gram", "cg") and not minibatch:
         from deeplabv3plus_augmented_superresolution_tpu.sr import (
             precompute_gram_stencil,
         )

@@ -129,7 +129,10 @@ def add_sr_args(parser):
     parser.add_argument("--sgd_copies", type=int, default=0,
                         help="copies per solver iteration (0 = all; TPU perf knob)")
     parser.add_argument("--solver_impl", type=str, default="gram",
-                        choices=["gram", "direct"],
-                        help="data-term evaluation: precomputed Gram stencil "
-                             "(exact, fast) or per-iteration warps")
+                        choices=["gram", "cg", "direct"],
+                        help="aug-SR solver: Adam on the precomputed Gram "
+                             "stencil (exact, fast), IRLS-preconditioned CG "
+                             "on the same system (~3x fewer iterations, "
+                             "equal-or-lower objective), or per-iteration "
+                             "warps (reference structure)")
     return parser

@@ -98,7 +98,7 @@ def main():
     if shared:
         angles_s, shifts_s = sample_augmentations(
             jax.random.key(SEED), args.num_aug, args.angle_max, args.shift_max)
-        if (sr_cfg.solver_impl == "gram" and "aug" in sr_types
+        if (sr_cfg.solver_impl in ("gram", "cg") and "aug" in sr_types
                 and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug)):
             from deeplabv3plus_augmented_superresolution_tpu.sr import (
                 precompute_gram_stencil,

@@ -82,6 +82,13 @@ class SRConfig:
     # data terms do not hurt IoU (argmax_500_sweep_all best run used
     # copy_dropout=0.1 — BASELINE.md row "Best sweep-all result").
     sgd_copies: int = 0
+    # IRLS-CG budget when solver_impl="cg": cg_outer reweightings of the TV
+    # term (lagged diffusivity), cg_inner conjugate-gradient steps each.
+    # Total stencil applies = cg_outer * cg_inner — the default 6x15=90 is
+    # >3x fewer iterations than the 300-step Adam reference at equal or
+    # better final objective (tests/test_gram.py).
+    cg_outer: int = 6
+    cg_inner: int = 15
     # Number of REAL copies when the aug axis is padded for mesh sharding
     # (GSPMD needs the sharded dim divisible by the "aug" axis size, so e.g.
     # 100 copies on 8 shards run as num_aug=104 / num_valid=100 with
@@ -225,9 +232,12 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     if cfg.solver_impl == "gram" and not minibatch:
         return _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
                            cfg, copy_weights, gram_coeffs)
+    if cfg.solver_impl == "cg" and not minibatch:
+        return _cg_solve(target, lr_masks, angles, shifts, cfg, copy_weights,
+                         gram_coeffs)
     if gram_coeffs is not None:
-        raise ValueError("gram_coeffs requires solver_impl='gram' without "
-                         "copy minibatching")
+        raise ValueError("gram_coeffs requires solver_impl='gram'/'cg' "
+                         "without copy minibatching")
     base_key = dropout_key if dropout_key is not None else jax.random.key(0)
 
     if minibatch:
@@ -283,13 +293,12 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     return target[0], losses[-1]
 
 
-def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
-                cfg: SRConfig, copy_weights, gram_coeffs=None):
-    """Adam loop with the data-term gradient from the precomputed Gram
-    stencil: exact same objective/gradients as the direct path."""
-    from ..ops.gram import RADIUS_X, RADIUS_Y, apply_gram, extract_gram_stencil
+def _gram_system(target, lr_masks, angles, shifts, cfg: SRConfig,
+                 copy_weights, gram_coeffs):
+    """(coeffs, b, y_const) of the normal equations G x = b for the df term,
+    with copy weights folded in (dropout / aug-padding)."""
+    from ..ops.gram import RADIUS_X, RADIUS_Y, extract_gram_stencil
 
-    ry, rx = RADIUS_Y, RADIUS_X
     mask_w = copy_weights
 
     def masked_forward(z):
@@ -309,13 +318,26 @@ def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
                              "copy_dropout (the mask changes per solve)")
         coeffs = gram_coeffs
     else:
-        coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size), ry, rx)
+        coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size),
+                                      RADIUS_Y, RADIUS_X)
 
     _, vjp0 = jax.vjp(masked_forward, jnp.zeros_like(target))
     masked_y = (lr_masks * mask_w[:, None, None, None]
                 if mask_w is not None else lr_masks)
     b = vjp0(masked_y)[0]
     y_const = jnp.sum(jnp.square(masked_y))
+    return coeffs, b, y_const
+
+
+def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
+                cfg: SRConfig, copy_weights, gram_coeffs=None):
+    """Adam loop with the data-term gradient from the precomputed Gram
+    stencil: exact same objective/gradients as the direct path."""
+    from ..ops.gram import RADIUS_X, RADIUS_Y, apply_gram
+
+    ry, rx = RADIUS_Y, RADIUS_X
+    coeffs, b, y_const = _gram_system(target, lr_masks, angles, shifts, cfg,
+                                      copy_weights, gram_coeffs)
 
     def step(carry, _):
         tgt, state = carry
@@ -340,6 +362,111 @@ def _gram_solve(target, opt, opt_state, lr_masks, angles, shifts,
     (target, _), losses = jax.lax.scan(step, (target, opt_state), None,
                                        length=cfg.num_iter)
     return target[0], losses[-1]
+
+
+def _cg_solve(target, lr_masks, angles, shifts, cfg: SRConfig, copy_weights,
+              gram_coeffs=None):
+    """Second-order solve of the SR objective on the Gram system: lagged-
+    diffusivity IRLS for the non-smooth TV/L1 terms, preconditioned CG for
+    each quadratic subproblem.
+
+    minimize  lambda_df (x^T G x - 2 b^T x + c) + lambda_tv TV(x)
+              + lambda_L2 ||x||^2 (+ lambda_L1 |x|)
+
+    Each outer step freezes TV weights w = 1/(2 max(|grad x_k|, eps)) — the
+    standard majorizer of |g| — and CG-solves
+        (lambda_df G + lambda_tv D^T W D + lambda_L2 I + lambda_L1 W_l) x
+            = lambda_df b
+    warm-started from x_k. One CG step costs one stencil apply (same as one
+    Adam-gram step), so cg_outer*cg_inner=90 applies replace 300 Adam steps
+    at equal-or-better final objective (tests/test_gram.py). BTV is not
+    IRLS-factored here; use solver_impl="gram" for use_BTV runs.
+    """
+    from ..ops.gram import RADIUS_X, RADIUS_Y, apply_gram
+
+    if cfg.use_BTV:
+        raise ValueError("solver_impl='cg' does not support use_BTV; "
+                         "use solver_impl='gram'")
+    ry, rx = RADIUS_Y, RADIUS_X
+    coeffs, b, y_const = _gram_system(target, lr_masks, angles, shifts, cfg,
+                                      copy_weights, gram_coeffs)
+    rhs = cfg.lambda_df * b
+    eps = 1e-3  # masks live in [0, 1]
+
+    from ..ops.gradients import image_gradients
+
+    def weights_at(x):
+        dy, dx_ = image_gradients(x)
+        wy = 0.5 / jnp.maximum(jnp.abs(dy), eps)
+        wx = 0.5 / jnp.maximum(jnp.abs(dx_), eps)
+        wl = (0.5 / jnp.maximum(jnp.abs(x), eps)
+              if cfg.lambda_L1 > 0.0 else None)
+        return wy, wx, wl
+
+    def matvec(p, wy, wx, wl):
+        dy, dx_ = image_gradients(p)
+        # D^T (w * D p) via the transpose of the forward differences
+        # (image_gradients zero-pads the last row/col, so those weights never
+        # touch real gradients).
+        vy = wy * dy
+        vx = wx * dx_
+        dty = jnp.pad(vy[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0))) - \
+            jnp.pad(vy[:, :-1], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        dtx = jnp.pad(vx[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0))) - \
+            jnp.pad(vx[:, :, :-1], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        out = (cfg.lambda_df * apply_gram(p, coeffs, ry, rx)
+               + cfg.lambda_tv * (dty + dtx) + cfg.lambda_L2 * p)
+        if wl is not None:
+            out = out + cfg.lambda_L1 * wl * p
+        return out
+
+    def cg(x0, wy, wx, wl):
+        # Jacobi preconditioner: diag(A) = lambda_df * center stencil coeff
+        # + TV/L1 diagonal + lambda_L2.
+        diag_tv = (wy + jnp.pad(wy[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+                   + wx + jnp.pad(wx[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0))))
+        diag = (cfg.lambda_df * coeffs[ry, rx][None, :, :, None]
+                + cfg.lambda_tv * diag_tv + cfg.lambda_L2)
+        if wl is not None:
+            diag = diag + cfg.lambda_L1 * wl
+        inv_diag = 1.0 / diag
+
+        r = rhs - matvec(x0, wy, wx, wl)
+        z = inv_diag * r
+        p = z
+        rz = jnp.sum(r * z)
+
+        def body(carry, _):
+            x, r, p, rz = carry
+            ap = matvec(p, wy, wx, wl)
+            alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = inv_diag * r
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(body, (x0, r, p, rz), None,
+                                       length=cfg.cg_inner)
+        return x
+
+    def outer(x, _):
+        wy, wx, wl = weights_at(x)
+        return cg(x, wy, wx, wl), None
+
+    x, _ = jax.lax.scan(outer, target, None, length=cfg.cg_outer)
+
+    # Report the TRUE (non-smoothed) objective for comparability with the
+    # Adam solvers.
+    df_val = (jnp.sum(x * apply_gram(x, coeffs, ry, rx))
+              - 2.0 * jnp.sum(x * b) + y_const)
+    loss = (cfg.lambda_df * df_val + cfg.lambda_tv * total_variation(x)
+            + cfg.lambda_L2 * jnp.sum(jnp.square(x)))
+    if cfg.lambda_L1 > 0.0:
+        loss = loss + cfg.lambda_L1 * jnp.sum(jnp.abs(x))
+    return x[0], loss
 
 
 def _inverse_warp(lr_masks, angles, shifts, cfg: SRConfig):

@@ -96,6 +96,49 @@ def test_gram_solve_matches_direct_solve():
                                atol=5e-3)
 
 
+def test_cg_solver_matches_adam_quality_at_3x_fewer_iterations():
+    """IRLS-CG on the Gram system (solver_impl="cg", 6x15 = 90 stencil
+    applies) must reach an equal-or-lower TRUE objective than 300 Adam-gram
+    steps, with the same recovered mask."""
+    import dataclasses
+
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+        single_class_iou,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr.postprocess import (
+        threshold_image,
+    )
+
+    hr, lr, n = 64, 16, 24
+    rng = np.random.default_rng(0)
+    gt = np.zeros((hr, hr, 1), np.float32)
+    gt[20:44, 16:48] = 1.0
+    angles = rng.uniform(-0.25, 0.25, n).astype(np.float32)
+    shifts = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
+    angles[0] = 0.0
+    shifts[0] = 0.0
+    angles, shifts = jnp.asarray(angles), jnp.asarray(shifts)
+    cfg = SRConfig(lambda_df=1.0, lambda_tv=0.05, lambda_L2=0.01, num_iter=300,
+                   num_aug=n, feature_size=(lr, lr), output_size=(hr, hr),
+                   angle_max=0.3, solver_impl="gram",
+                   optimizer=OptimizerConfig(learning_rate=5e-2, amsgrad=True))
+    masks = forward_operator(jnp.asarray(gt)[None], angles, shifts, (lr, lr),
+                             cfg)
+
+    def iou_of(est):
+        m = np.asarray(threshold_image(est, 8, th_factor=0.5))
+        return float(single_class_iou((gt[..., 0] * 8).astype(np.int32),
+                                      m[..., 0], 8))
+
+    est_adam, loss_adam = augmented_superresolution(masks, angles, shifts, cfg)
+    cg_cfg = dataclasses.replace(cfg, solver_impl="cg")
+    est_cg, loss_cg = augmented_superresolution(masks, angles, shifts, cg_cfg)
+
+    assert float(loss_cg) <= float(loss_adam) * 1.001, (
+        f"cg loss {float(loss_cg)} vs adam {float(loss_adam)}")
+    assert iou_of(est_cg) >= iou_of(est_adam) - 1e-6
+
+
 def test_precomputed_stencil_solve_matches_inline_extraction():
     """Passing precompute_gram_stencil's coefficients into the solve must
     reproduce the inline-extraction gram solve exactly (serving-mode path)."""
