@@ -30,7 +30,12 @@ add_sr_args(parser)
 
 
 def main():
-    args = parser.parse_args()
+    return run(parser.parse_args())
+
+
+def run(args):
+    """Evaluate the staged class subset with args' hyperparameters; returns
+    the six average IoUs. Importable entry for sweep_script/sweep_agent."""
     paths = data_paths(args.use_validation, args.backbone, args.mode,
                        args.class_id, args.num_aug)
 

@@ -30,19 +30,9 @@ parser.add_argument("--output_csv", type=str, default=None)
 add_sr_args(parser)
 
 
-def main():
-    args = parser.parse_args()
-
-    try:
-        import wandb
-        run = wandb.init(config=vars(args))
-        for key, value in dict(wandb.config).items():
-            if hasattr(args, key):
-                setattr(args, key, value)
-    except ImportError:
-        wandb = None
-        run = None
-
+def run_config(args):
+    """Evaluate ONE hyperparameter configuration and append it to the sweep
+    CSV; returns the metrics dict. Reused by sweep_agent for local search."""
     import SR_single_class
 
     t0 = time.time()
@@ -51,14 +41,7 @@ def main():
     for key, value in vars(args).items():
         if hasattr(sweep_args, key):
             setattr(sweep_args, key, value)
-    import sys
-    argv_backup = sys.argv
-    sys.argv = ["SR_single_class.py"]
-    try:
-        SR_single_class.parser.parse_args = lambda *a, **k: sweep_args
-        avg = SR_single_class.main()
-    finally:
-        sys.argv = argv_backup
+    avg = SR_single_class.run(sweep_args)
     runtime = time.time() - t0
 
     metrics = {
@@ -70,9 +53,6 @@ def main():
         "mean_iou": avg["mean"],
         "runtime_s": runtime,
     }
-    if wandb is not None and run is not None:
-        wandb.log(metrics)
-        run.finish()
 
     out_csv = args.output_csv or os.path.join(
         os.getcwd(), "experiments_data",
@@ -90,6 +70,27 @@ def main():
         row.update(metrics)
         writer.writerow(row)
     print(f"Appended sweep row to {out_csv}")
+    return metrics
+
+
+def main():
+    args = parser.parse_args()
+
+    try:
+        import wandb
+        run = wandb.init(config=vars(args))
+        for key, value in dict(wandb.config).items():
+            if hasattr(args, key):
+                setattr(args, key, value)
+    except ImportError:
+        wandb = None
+        run = None
+
+    metrics = run_config(args)
+
+    if wandb is not None and run is not None:
+        wandb.log(metrics)
+        run.finish()
 
 
 if __name__ == "__main__":

@@ -77,6 +77,45 @@ def test_cli_pipeline_end_to_end(fake_voc):
     assert "Avg. Max SR IoUs" in out
 
 
+def _ensure_staged(fake_voc):
+    staged = os.path.join(fake_voc, "data", "superres_root",
+                          "augmented_copies", "mobilenet_argmax_8_4")
+    if not os.path.isdir(staged):
+        _run(fake_voc, "generate_augmented_copies.py", "--backbone",
+             "mobilenet", "--class_id", "8", "--num_aug", "4",
+             "--num_samples", "2", "--angle_max", "0.2", "--shift_max", "10")
+        _run(fake_voc, "generate_standard_output.py", "--backbone",
+             "mobilenet", "--class_id", "8", "--num_samples", "2")
+
+
+def test_sweep_agent_local_search(fake_voc):
+    """One command reproduces a sweep table offline: the agent parses the
+    wandb-schema YAML, proposes configs, and appends every trial to a CSV."""
+    _ensure_staged(fake_voc)
+    cfg = fake_voc / "mini_sweep.yaml"
+    cfg.write_text("""
+method: bayes
+metric: {name: aug_iou_single, goal: maximize}
+parameters:
+  lambda_tv: {distribution: uniform, min: 0.05, max: 0.5}
+  lambda_L2: {values: [0.1, 0.7]}
+  num_aug: {value: 4}
+  class_id: {value: 8}
+  mode: {value: argmax}
+""")
+    out = _run(fake_voc, "sweep_agent.py", "--config", str(cfg),
+               "--trials", "3", "--startup_trials", "2", "--seed", "0",
+               "--backbone", "mobilenet", "--num_samples", "2",
+               "--num_iter", "5", "--angle_max", "0.2")
+    assert "best aug_iou_single=" in out
+    csv_path = os.path.join(fake_voc, "experiments_data",
+                            "agent_mini_sweep.csv")
+    with open(csv_path) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 1 + 3  # header + one row per trial
+    assert "aug_iou_single" in rows[0]
+
+
 def test_cli_test_sr_smoke(fake_voc):
     img = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
                        "VOC2012", "JPEGImages", "2007_000001.jpg")
