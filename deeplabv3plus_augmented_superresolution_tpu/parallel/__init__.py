@@ -1,11 +1,31 @@
-from .mesh import aug_sharding, data_sharding, make_mesh, replicated
-from .sharded import make_asr_batch_fn, shard_batch
+from .mesh import (
+    aug_sharding,
+    data_sharding,
+    host_local_batch_to_global,
+    initialize_distributed,
+    make_mesh,
+    make_multihost_mesh,
+    multihost_mesh_shape,
+    replicated,
+)
+from .sharded import (
+    make_asr_batch_fn,
+    padded_aug_count,
+    shard_batch,
+    shard_batch_multihost,
+)
 
 __all__ = [
     "aug_sharding",
     "data_sharding",
+    "host_local_batch_to_global",
+    "initialize_distributed",
     "make_mesh",
+    "make_multihost_mesh",
+    "multihost_mesh_shape",
     "replicated",
     "make_asr_batch_fn",
+    "padded_aug_count",
     "shard_batch",
+    "shard_batch_multihost",
 ]

@@ -77,6 +77,33 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                    out_shardings=out_shardings)
 
 
+def shard_batch_multihost(mesh: Mesh, params, images, angles, shifts):
+    """Per-PROCESS local batch slices -> global sharded arrays.
+
+    The multi-host input path (SURVEY.md §5.8): every process loads only its
+    own images; the global ("data"-sharded) arrays are assembled from the
+    host-local shards without any cross-host data movement (the "data" axis
+    lives on the DCN dimension of make_multihost_mesh). params must be
+    identical on every process (replicated assembly).
+    """
+    import numpy as np
+
+    from .mesh import host_local_batch_to_global
+
+    padded = padded_aug_count(angles.shape[1], mesh)
+    if padded != angles.shape[1]:
+        extra = padded - angles.shape[1]
+        angles = jnp.pad(angles, ((0, 0), (0, extra)))
+        shifts = jnp.pad(shifts, ((0, 0), (0, extra), (0, 0)))
+    to_global = lambda x, spec: host_local_batch_to_global(
+        mesh, np.asarray(x), spec)
+    params = jax.tree.map(lambda x: to_global(x, P()), params)
+    images = to_global(images, P("data"))
+    angles = to_global(angles, P("data", "aug"))
+    shifts = to_global(shifts, P("data", "aug"))
+    return params, images, angles, shifts
+
+
 def shard_batch(mesh: Mesh, params, images, angles, shifts):
     """Device-put a host batch with the canonical shardings.
 
