@@ -72,10 +72,17 @@ class PascalVOC2012Dataset:
                         img, mask = self.load_pair(base)
                         if augment:
                             from .host_augment import random_transform
+                            params = self.augmentation_params or {
+                                "flip_lr": True,
+                                "rotation_range": (-10.0, 10.0),
+                                "zoom_range": (0.8, 1.2),
+                                "brightness_range": (-20, 20),
+                            }
                             img8 = (img * 255).astype(np.uint8)
                             img8, mask = random_transform(
                                 img8, mask[..., 0].astype(np.uint8),
-                                seed=seed + start + i)
+                                target_shape=self.image_size,
+                                seed=seed + start + i, **params)
                             img = img8.astype(np.float32) / 255.0
                             mask = mask[..., None].astype(np.float32)
                         imgs.append(img)

@@ -83,9 +83,76 @@ def test_host_augment_ops():
     assert adjust_contrast(img, 1.2).shape == img.shape
 
     mask = rng.integers(0, 21, (32, 48)).astype(np.uint8)
-    out_img, out_mask = random_transform(img, mask, seed=0, crop_size=(24, 24))
+    out_img, out_mask = random_transform(
+        img, mask, target_shape=(24, 24), seed=0, flip_lr=True,
+        rotation_range=(-10.0, 10.0), zoom_range=(0.8, 1.2),
+        brightness_range=(-20, 20), shift_range=(4, 4))
     assert out_img.shape == (24, 24, 3) and out_mask.shape == (24, 24)
-    assert set(np.unique(out_mask)) <= set(range(21))
+    assert set(np.unique(out_mask)) <= set(range(21)) | {255}
+
+
+def test_host_augment_reference_parity_ops():
+    """The reference's full image_utils surface: expanding rotate, random
+    blur, absolute HSV / brightness-contrast adjustments, pad_or_crop, shift,
+    mean removal, one-hot codec, prediction overlay."""
+    import random as pyrandom
+
+    from deeplabv3plus_augmented_superresolution_tpu.data.host_augment import (
+        adjust_brightness_contrast,
+        adjust_saturation_value,
+        apply_mask,
+        colors_to_labels,
+        labels_to_colors,
+        pad_or_crop,
+        random_blur,
+        random_rotate,
+        random_shift,
+        remove_mean,
+        rotate_expand,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    mask = np.zeros((40, 60), np.uint8)
+    mask[10:30, 20:40] = 8
+
+    # Expanding rotate: canvas grows, no corner clipping, GT keeps its label
+    # set plus the ignore fill.
+    rot = rotate_expand(img, 30.0)
+    assert rot.shape[0] > img.shape[0] and rot.shape[1] > img.shape[1]
+    r = pyrandom.Random(0)
+    ri, rm = random_rotate(img, mask, (25.0, 35.0), ignore_label=255, rng=r)
+    assert ri.shape[:2] == rm.shape[:2]
+    assert set(np.unique(rm)) <= {0, 8, 255}
+    assert 255 in np.unique(rm)  # corners filled with ignore
+
+    assert random_blur(img, (9, 9), (1.5, 1.5), pyrandom.Random(1)).shape == img.shape
+
+    sat = adjust_saturation_value(img, saturation=40, value=-30)
+    assert sat.shape == img.shape and sat.dtype == np.uint8
+    bc = adjust_brightness_contrast(img, brightness=30, contrast=20)
+    assert bc.shape == img.shape and bc.dtype == np.uint8
+    np.testing.assert_array_equal(
+        adjust_brightness_contrast(img, 0, 0), img)
+
+    assert pad_or_crop(img, (64, 48)).shape == (64, 48, 3)
+    assert pad_or_crop(img, (20, 80)).shape == (20, 80, 3)
+
+    si, sm = random_shift(img, mask, (5, 5), rng=pyrandom.Random(2))
+    assert si.shape == img.shape and sm.shape == mask.shape
+
+    demeaned = remove_mean(img)
+    assert demeaned.dtype == np.float32
+    assert abs(float(demeaned[..., 0].mean()
+                     - (img[..., 0].astype(np.float32).mean() - 103.939))) < 1e-3
+
+    onehot = colors_to_labels(labels_to_colors(mask), one_hot=True)
+    assert onehot.shape == (40, 60, 21)
+    np.testing.assert_array_equal(onehot.argmax(-1).astype(np.uint8), mask)
+
+    overlay = apply_mask(img, labels_to_colors(mask))
+    np.testing.assert_array_equal(overlay[mask == 0], img[mask == 0])
+    assert (overlay[mask == 8] != img[mask == 8]).any()
 
 
 def test_dataset_class_batches(tmp_path):
