@@ -142,11 +142,22 @@ def _pallas_self_test() -> bool:
                         .astype(np.float32))
         got = np.asarray(shear_rows_pallas(img, s, 8))
         want = np.asarray(_shear_rows(img[..., None], s, 8))[..., 0]
-        if not np.allclose(got, want, atol=1e-5):
+        # Second probe at the shift-budget edge: wide rows, |s| ~ 240 — the
+        # regime where a kernel/XLA budget mismatch silently corrupts warps
+        # at the CLI-default extremes (angle 0.5, shifts +-80). One copy near
+        # +240, one near -239 (per-copy rebasing both ways).
+        img2 = jnp.asarray(rng.uniform(0, 1, (2, h, 512)).astype(np.float32))
+        ramp = np.linspace(-1.0, 1.0, h, dtype=np.float32)
+        s2 = jnp.asarray(np.stack([ramp + 240.25, ramp - 239.5]))
+        got2 = np.asarray(shear_rows_pallas(img2, s2, 8))
+        want2 = np.asarray(_shear_rows(img2[..., None], s2, 8))[..., 0]
+        if not (np.allclose(got, want, atol=1e-5)
+                and np.allclose(got2, want2, atol=1e-5)):
+            err = max(float(np.abs(got - want).max()),
+                      float(np.abs(got2 - want2).max()))
             warnings.warn(
                 "Pallas shear kernel disagrees with the XLA reference on this "
-                "backend (max err "
-                f"{float(np.abs(got - want).max()):.3g}); falling back to the "
+                f"backend (max err {err:.3g}); falling back to the "
                 "XLA shear path. Set DSR_DISABLE_PALLAS=1 to silence.")
             return False
         return True
