@@ -133,11 +133,37 @@ def main():
         return name, image, angles, shifts
 
     def inputs():
-        """Host decode overlapped with device compute via a lookahead queue."""
+        """Host decode overlapped with device compute: the native C++ staging
+        ring (libjpeg decode + resize in a worker pool, native/asr_host.cc)
+        when it builds, else a Python lookahead thread."""
         if args.prefetch <= 0:
             for p in paths:
                 yield load_one(p)
             return
+        from deeplabv3plus_augmented_superresolution_tpu.data import (
+            native_loader,
+        )
+
+        if native_loader.available() and all(p.endswith(".jpg") for p in paths):
+            ring = native_loader.ImageRing(paths, IMG_SIZE, normalize=True,
+                                           n_threads=min(4, args.prefetch),
+                                           capacity=max(2, args.prefetch))
+            try:
+                for i, image in ring:
+                    name = os.path.splitext(os.path.basename(paths[i]))[0]
+                    if shared:
+                        yield name, image, angles_s, shifts_s
+                    else:
+                        key = jax.random.fold_in(jax.random.key(SEED),
+                                                 abs(hash(name)) % (2 ** 31))
+                        a, s = sample_augmentations(key, args.num_aug,
+                                                    args.angle_max,
+                                                    args.shift_max)
+                        yield name, image, a, s
+            finally:
+                ring.close()
+            return
+
         import queue
         import threading
 

@@ -1,0 +1,70 @@
+"""Native C++ host-staging runtime (native/asr_host.cc) vs the PIL path.
+
+The component is new-by-design (the reference has no native code, SURVEY.md
+§2); its contract is data.io.load_image's: identical decode + TF-semantics
+resize, delivered in order by a decode-ahead worker ring.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplabv3plus_augmented_superresolution_tpu.data import load_image
+from deeplabv3plus_augmented_superresolution_tpu.data import native_loader
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JPG = os.path.join(REPO, "test_images", "smoke_input.jpg")
+PNG = os.path.join(REPO, "test_images", "smoke_gt.png")
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(),
+    reason=f"native loader unavailable: {native_loader.build_error()}")
+
+
+def test_jpeg_decode_matches_pil():
+    ours = native_loader.load_image_native(JPG, (512, 512))
+    ref = load_image(JPG, image_size=(512, 512), normalize=True)
+    assert ours.shape == ref.shape == (512, 512, 3)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_jpeg_bilinear_resize_matches_tf_semantics():
+    ours = native_loader.load_image_native(JPG, (384, 256))
+    ref = load_image(JPG, image_size=(384, 256), normalize=True)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_label_png_nearest_resize_exact():
+    for size in [(512, 512), (128, 128), (100, 300)]:
+        ours = native_loader.load_image_native(PNG, size, normalize=False,
+                                               is_label=True)
+        ref = load_image(PNG, image_size=size, normalize=False, is_png=True,
+                         resize_method="nearest")
+        np.testing.assert_array_equal(ours, ref)
+        assert set(np.unique(ours)) <= {0.0, 8.0, 255.0}
+
+
+def test_ring_in_order_and_bitwise_equal(tmp_path):
+    import shutil
+
+    paths = []
+    for i in range(7):
+        p = tmp_path / f"img{i}.jpg"
+        shutil.copy(JPG, p)
+        paths.append(str(p))
+    want = native_loader.load_image_native(JPG, (256, 256))
+    ring = native_loader.ImageRing(paths, (256, 256), n_threads=3, capacity=3)
+    seen = []
+    for idx, arr in ring:
+        seen.append(idx)
+        np.testing.assert_array_equal(arr, want)
+    ring.close()
+    assert seen == list(range(7))
+
+
+def test_decode_error_raises(tmp_path):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"this is not a jpeg")
+    with pytest.raises(IOError):
+        native_loader.load_image_native(str(bad), (64, 64))
