@@ -41,6 +41,11 @@ parser.add_argument("--per_image_augs", action="store_true",
                          "precompute its stencil once instead of per image")
 parser.add_argument("--prefetch", type=int, default=4,
                     help="host-side image decode lookahead (0 disables)")
+parser.add_argument("--batch", type=int, default=0,
+                    help="images per device program via the mesh-sharded "
+                         "batch path (0 = per-image programs). On one chip "
+                         "this amortizes dispatch; on a multi-chip mesh the "
+                         "batch shards over ('data','aug')")
 parser.add_argument("--weights_path", type=str, default=None)
 parser.add_argument("--limit", type=int, default=None)
 add_sr_args(parser)
@@ -178,17 +183,54 @@ def main():
         while (item := q.get()) is not None:
             yield item
 
+    if args.batch > 1:
+        if not shared:
+            raise SystemExit("--batch requires the fixed-TTA-set mode "
+                             "(drop --per_image_augs)")
+        from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+            make_asr_batch_fn,
+            make_mesh,
+            shard_batch,
+        )
+
+        n_dev = len(jax.devices())
+        data_ax = min(args.batch, n_dev)
+        while n_dev % data_ax:
+            data_ax -= 1
+        mesh = make_mesh(shape=(data_ax, n_dev // data_ax))
+        batch_fn = make_asr_batch_fn(mesh, model_cfg, sr_cfg,
+                                     class_id=args.class_id, mode=args.mode,
+                                     th_factor=args.th_factor,
+                                     sr_types=sr_types,
+                                     gram_coeffs=gram_coeffs)
+
+        @device_resilient(max_retries=2)
+        def run_batch(images, angles, shifts):
+            out = batch_fn(*shard_batch(mesh, params, images, angles, shifts))
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        def batched_inputs():
+            names, imgs = [], []
+            for name, image, a, s in inputs():
+                names.append(name)
+                imgs.append(np.asarray(image))
+                if len(names) == args.batch:
+                    yield names, np.stack(imgs)
+                    names, imgs = [], []
+            if names:  # ragged tail: repeat the last image to fill the batch
+                n_real = len(names)
+                while len(imgs) < args.batch:
+                    imgs.append(imgs[-1])
+                yield names[:n_real], np.stack(imgs)
+
     os.makedirs(args.output_dir, exist_ok=True)
     ious = {k: [] for k in sr_types + ("standard",)}
     start = time.time()
     steady_start = None
     n_done = 0
-    for name, image, angles, shifts in tqdm(inputs(), total=len(paths)):
-        out = run_one(image, angles, shifts)
-        n_done += 1
-        if steady_start is None:
-            steady_start = time.time()  # first image paid the compile
-        for k, mask in out.items():
+
+    def emit(name, out_masks):
+        for k, mask in out_masks.items():
             save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
                      mask, scale=False)
         if args.gt_dir:
@@ -196,8 +238,40 @@ def main():
             if os.path.exists(gt_path):
                 gt = load_image(gt_path, image_size=IMG_SIZE, normalize=False,
                                 is_png=True, resize_method="nearest")
-                for k, mask in out.items():
-                    ious[k].append(compute_iou(gt, mask, class_id=args.class_id))
+                for k, mask in out_masks.items():
+                    ious[k].append(compute_iou(gt, mask,
+                                               class_id=args.class_id))
+
+    if args.batch > 1:
+        a_b = np.broadcast_to(np.asarray(angles_s), (args.batch,) + angles_s.shape)
+        s_b = np.broadcast_to(np.asarray(shifts_s), (args.batch,) + shifts_s.shape)
+        for names, images in tqdm(batched_inputs(),
+                                  total=-(-len(paths) // args.batch)):
+            out = run_batch(images, a_b, s_b)
+            if steady_start is None:
+                steady_start = time.time()
+            else:
+                n_done += len(names)  # steady-state counts post-compile work
+            for i, name in enumerate(names):
+                emit(name, {k: v[i] for k, v in out.items()})
+        n_total = len(paths)
+        wall = time.time() - start
+        msg = f"{n_total} images in {wall:.1f}s ({n_total / wall:.2f} img/s incl. first compile"
+        if n_done and steady_start is not None:
+            steady = n_done / max(time.time() - steady_start, 1e-9)
+            msg += f"; {steady:.2f} img/s steady-state, batch={args.batch}"
+        print(msg + "); masks under " + args.output_dir)
+        for k, vals in ious.items():
+            if vals:
+                print(f"  avg IoU[{k}]: {float(np.mean(vals)):.4f} (n={len(vals)})")
+        return
+
+    for name, image, angles, shifts in tqdm(inputs(), total=len(paths)):
+        out = run_one(image, angles, shifts)
+        n_done += 1
+        if steady_start is None:
+            steady_start = time.time()  # first image paid the compile
+        emit(name, out)
 
     wall = time.time() - start
     msg = (f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "

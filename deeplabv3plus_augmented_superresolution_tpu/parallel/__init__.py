@@ -11,6 +11,7 @@ from .mesh import (
 from .sharded import (
     make_asr_batch_fn,
     padded_aug_count,
+    padded_sr_cfg,
     shard_batch,
     shard_batch_multihost,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "replicated",
     "make_asr_batch_fn",
     "padded_aug_count",
+    "padded_sr_cfg",
     "shard_batch",
     "shard_batch_multihost",
 ]

@@ -32,6 +32,12 @@ def padded_aug_count(num_aug: int, mesh: Mesh) -> int:
     return -(-num_aug // aug) * aug
 
 
+def padded_sr_cfg(sr_cfg: SRConfig, mesh: Mesh) -> SRConfig:
+    """Public alias of the aug-padding rule: the SRConfig the batched program
+    actually runs (use it to precompute a matching Gram stencil)."""
+    return _padded_cfg(sr_cfg, mesh)
+
+
 def _padded_cfg(sr_cfg: SRConfig, mesh: Mesh) -> SRConfig:
     padded = padded_aug_count(sr_cfg.num_aug, mesh)
     if padded == sr_cfg.num_aug:
@@ -47,7 +53,7 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                       class_id: int, mode: str = "argmax",
                       th_factor: float = 0.15,
                       sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
-                      chunk_size: int = 0):
+                      chunk_size: int = 0, gram_coeffs=None):
     """Returns a jitted fn(params, images, angles, shifts) -> dict of masks.
 
     images: (B, H, W, 3) sharded on "data";
@@ -56,13 +62,22 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
 
     N here is the PADDED copy count (shard_batch pads the host arrays when
     sr_cfg.num_aug does not divide the aug axis).
+
+    gram_coeffs: optional precomputed Gram stencil for a fixed TTA set
+    (sr.precompute_gram_stencil, computed with the PADDED cfg — see
+    padded_sr_cfg); replicated across the mesh and shared by every image in
+    the batch.
     """
     sr_cfg = _padded_cfg(sr_cfg, mesh)
+    if gram_coeffs is not None:
+        gram_coeffs = jax.device_put(gram_coeffs,
+                                     NamedSharding(mesh, P()))
 
     def batch_fn(params, images, angles, shifts):
         def per_image(image, a, s):
             return asr_step(params, image, a, s, model_cfg, sr_cfg, class_id,
-                            mode, th_factor, True, sr_types, chunk_size)
+                            mode, th_factor, True, sr_types, chunk_size,
+                            gram_coeffs=gram_coeffs)
 
         return jax.vmap(per_image)(images, angles, shifts)
 

@@ -190,6 +190,10 @@ def precompute_gram_stencil(angles: jnp.ndarray, shifts: jnp.ndarray,
     """
     from ..ops.gram import extract_gram_stencil
 
+    n = angles.shape[0]
+    if n < cfg.num_aug:  # aug-padded cfg (mesh sharding): pad with identity
+        angles = jnp.pad(angles, (0, cfg.num_aug - n))
+        shifts = jnp.pad(shifts, ((0, cfg.num_aug - n), (0, 0)))
     valid = _valid_weights(cfg)
 
     def fwd(z):

@@ -137,6 +137,41 @@ def test_uneven_aug_shards_at_production_copy_count(small_setup, mesh_shape):
                                    atol=2e-2, err_msg=f"{k} @ mesh {mesh_shape}")
 
 
+def test_sharded_batch_with_precomputed_stencil(small_setup):
+    """The serving-mode stencil (fixed TTA set) rides the mesh path: results
+    must match the inline-extraction sharded run exactly, including when the
+    copy count needs aug-axis padding (the stencil of zero-weighted identity
+    pads equals the unpadded stencil)."""
+    import dataclasses
+
+    from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+        padded_sr_cfg,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        precompute_gram_stencil,
+    )
+
+    cfg, params, sr_cfg = small_setup
+    sr_cfg = dataclasses.replace(sr_cfg, solver_impl="gram", num_aug=10)
+    mesh = make_mesh(shape=(2, 4))  # 10 copies pad to 12
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    a, s = sample_augmentations(jax.random.key(5), 10, 0.2, 4.0)
+    angles = jnp.broadcast_to(a, (2,) + a.shape)
+    shifts = jnp.broadcast_to(s, (2,) + s.shape)
+
+    coeffs = precompute_gram_stencil(a, s, padded_sr_cfg(sr_cfg, mesh))
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, sr_types=("aug",),
+                           gram_coeffs=coeffs)
+    out = fn(*shard_batch(mesh, params, images, angles, shifts))
+
+    fn_inline = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8,
+                                  sr_types=("aug",))
+    want = fn_inline(*shard_batch(mesh, params, images, angles, shifts))
+    np.testing.assert_allclose(np.asarray(out["aug"]),
+                               np.asarray(want["aug"]), atol=1e-5)
+
+
 def test_sharded_batch_with_gram_solver(small_setup):
     """The gram solver's probe extraction composes with vmap + mesh sharding."""
     import dataclasses
