@@ -24,6 +24,7 @@ from ..sr.postprocess import threshold_image
 from ..sr.solver import (
     SRConfig,
     augmented_superresolution,
+    max_mean_superresolution,
     max_superresolution,
     mean_superresolution,
 )
@@ -55,6 +56,11 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
     for serving with a fixed augmentation set — hoists the probe extraction
     out of the per-image program."""
     num_aug = sr_cfg.num_aug
+    # Warp the copies in the model's compute dtype: the forward casts its
+    # input to bf16 at entry anyway, so a bf16 warp loses nothing downstream
+    # and halves the warp's HBM traffic (the kernel blends in f32 internally).
+    if model_cfg.compute_dtype == "bfloat16":
+        image = image.astype(jnp.bfloat16)
     copies = make_augmented_copies(image, angles, shifts, num_aug,
                                    warp_impl=sr_cfg.warp_impl,
                                    angle_max=sr_cfg.angle_max)
@@ -70,14 +76,29 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
     class_masks, max_masks = prepare_sr_inputs(class_masks, max_masks, mode,
                                                global_normalize)
 
+    # max and mean SR share one inverse-warp stack when both are requested.
+    targets: Dict[str, Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = {}
+    if "max" in sr_types and "mean" in sr_types:
+        mx, mean = max_mean_superresolution(class_masks, angles, shifts, sr_cfg)
+        targets["max"], targets["mean"] = (mx, None), (mean, None)
+        if mode == "slice_max" and max_masks is not None:
+            mx_m, mean_m = max_mean_superresolution(max_masks, angles, shifts,
+                                                    sr_cfg)
+            targets["max"], targets["mean"] = (mx, mx_m), (mean, mean_m)
+
     results: Dict[str, jnp.ndarray] = {}
     for sr_type in sr_types:
-        fn = _SR_FNS[sr_type]
-        kwargs = ({"dropout_key": dropout_key, "gram_coeffs": gram_coeffs}
-                  if sr_type == "aug" else {})
-        target_class, _ = fn(class_masks, angles, shifts, sr_cfg, **kwargs)
-        if mode == "slice_max" and max_masks is not None:
-            target_max, _ = fn(max_masks, angles, shifts, sr_cfg, **kwargs)
+        if sr_type in targets:
+            target_class, target_max = targets[sr_type]
+        else:
+            fn = _SR_FNS[sr_type]
+            kwargs = ({"dropout_key": dropout_key, "gram_coeffs": gram_coeffs}
+                      if sr_type == "aug" else {})
+            target_class, _ = fn(class_masks, angles, shifts, sr_cfg, **kwargs)
+            target_max = None
+            if mode == "slice_max" and max_masks is not None:
+                target_max, _ = fn(max_masks, angles, shifts, sr_cfg, **kwargs)
+        if target_max is not None:
             th = threshold_image(target_class, class_id, th_mask=target_max)
         else:
             th = threshold_image(target_class, class_id, th_factor=th_factor)

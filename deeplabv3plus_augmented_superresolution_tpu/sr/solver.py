@@ -82,6 +82,12 @@ class SRConfig:
     # data terms do not hurt IoU (argmax_500_sweep_all best run used
     # copy_dropout=0.1 — BASELINE.md row "Best sweep-all result").
     sgd_copies: int = 0
+    # Gram stencil extraction scheme: "aliased" probes the operator with
+    # (2Ry+1)*(Rx+1) combs and disentangles the aliased offset pairs exactly
+    # via G's symmetry (ops/gram.py extract_gram_stencil_aliased) — ~1.8x
+    # cheaper extraction, identical coefficients; "dense" is the one-offset-
+    # per-probe reference scheme.
+    gram_probing: str = "aliased"
     # IRLS-CG budget when solver_impl="cg": cg_outer reweightings of the TV
     # term (lagged diffusivity), cg_inner conjugate-gradient steps each.
     # Total stencil applies = cg_outer * cg_inner — the default 6x15=90 is
@@ -188,8 +194,6 @@ def precompute_gram_stencil(angles: jnp.ndarray, shifts: jnp.ndarray,
     is statistically equivalent (tests/test_solver.py) and hoists the
     extraction out of the per-image loop entirely.
     """
-    from ..ops.gram import extract_gram_stencil
-
     n = angles.shape[0]
     if n < cfg.num_aug:  # aug-padded cfg (mesh sharding): pad with identity
         angles = jnp.pad(angles, (0, cfg.num_aug - n))
@@ -204,7 +208,14 @@ def precompute_gram_stencil(angles: jnp.ndarray, shifts: jnp.ndarray,
         out, vjp = jax.vjp(fwd, x)
         return vjp(out)[0]
 
-    return extract_gram_stencil(normal_op, tuple(cfg.output_size))
+    return _extract(cfg)(normal_op, tuple(cfg.output_size))
+
+
+def _extract(cfg: SRConfig):
+    from ..ops.gram import extract_gram_stencil, extract_gram_stencil_aliased
+
+    return (extract_gram_stencil_aliased if cfg.gram_probing == "aliased"
+            else extract_gram_stencil)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -301,7 +312,7 @@ def _gram_system(target, lr_masks, angles, shifts, cfg: SRConfig,
                  copy_weights, gram_coeffs):
     """(coeffs, b, y_const) of the normal equations G x = b for the df term,
     with copy weights folded in (dropout / aug-padding)."""
-    from ..ops.gram import RADIUS_X, RADIUS_Y, extract_gram_stencil
+    from ..ops.gram import RADIUS_X, RADIUS_Y
 
     mask_w = copy_weights
 
@@ -322,8 +333,8 @@ def _gram_system(target, lr_masks, angles, shifts, cfg: SRConfig,
                              "copy_dropout (the mask changes per solve)")
         coeffs = gram_coeffs
     else:
-        coeffs = extract_gram_stencil(normal_op, tuple(cfg.output_size),
-                                      RADIUS_Y, RADIUS_X)
+        coeffs = _extract(cfg)(normal_op, tuple(cfg.output_size),
+                               RADIUS_Y, RADIUS_X)
 
     _, vjp0 = jax.vjp(masked_forward, jnp.zeros_like(target))
     masked_y = (lr_masks * mask_w[:, None, None, None]
@@ -500,6 +511,25 @@ def mean_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
         return jnp.mean(up, axis=0), None
     mean = jnp.sum(up * valid[:, None, None, None], axis=0) / cfg.n_valid
     return mean, None
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def max_mean_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
+    """(max SR, mean SR) from ONE shared inverse warp of the copies.
+
+    The two reductions differ only after the upsample+inverse-warp stack
+    (reference superresolution.py:139-161), which dominates their cost; when
+    a pipeline wants both (e.g. the full ASR step's aug/max/mean outputs),
+    sharing it halves the warp work without relying on XLA to CSE the two
+    custom-kernel chains."""
+    up = _inverse_warp(lr_masks, angles, shifts, cfg)
+    valid = _valid_weights(cfg)
+    if valid is None:
+        return jnp.max(up, axis=0), jnp.mean(up, axis=0)
+    vmask = valid[:, None, None, None]
+    mx = jnp.max(jnp.where(vmask > 0, up, -jnp.inf), axis=0)
+    mean = jnp.sum(up * vmask, axis=0) / cfg.n_valid
+    return mx, mean
 
 
 SR_FUNCTIONS = {

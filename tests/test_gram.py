@@ -10,6 +10,7 @@ from deeplabv3plus_augmented_superresolution_tpu.ops.gram import (
     RADIUS_Y,
     apply_gram,
     extract_gram_stencil,
+    extract_gram_stencil_aliased,
 )
 from deeplabv3plus_augmented_superresolution_tpu.sr import (
     OptimizerConfig,
@@ -75,6 +76,39 @@ def test_stencil_exact_at_production_shape():
     via = np.asarray(apply_gram(x, coeffs))
     scale = np.abs(direct).max()
     np.testing.assert_allclose(via, direct, atol=1e-5 * scale)
+
+    # The production extraction scheme (35 aliased probes + symmetry
+    # disentangling) must produce the same coefficients at this worst-case
+    # shape, including the edge chains where the recurrence terminates.
+    # Tolerance: the disentangling is exact in exact arithmetic; in f32 the
+    # reverse cumulative sums accumulate ~1e-5 absolute error over their
+    # 512/5-term chains (verified: errors grow right-to-left with chain
+    # length and the unaliased dx=0 channel matches bitwise).
+    aliased = np.asarray(extract_gram_stencil_aliased(normal_op,
+                                                      cfg.output_size))
+    cscale = np.abs(np.asarray(coeffs)).max()
+    np.testing.assert_allclose(aliased, np.asarray(coeffs),
+                               atol=1e-4 * cscale)
+    via_a = np.asarray(apply_gram(x, jnp.asarray(aliased)))
+    np.testing.assert_allclose(via_a, direct, atol=5e-5 * scale)
+
+
+def test_aliased_extraction_matches_dense():
+    """extract_gram_stencil_aliased == extract_gram_stencil coefficient-for-
+    coefficient (the aliased scheme is exact, not approximate)."""
+    cfg, angles, shifts, rng = _setup(hr=64, lr=16, n=6, seed=4)
+
+    def fwd(z):
+        return forward_operator(z, angles, shifts, cfg.feature_size, cfg)
+
+    def normal_op(x):
+        out, vjp = jax.vjp(fwd, x)
+        return vjp(out)[0]
+
+    dense = np.asarray(extract_gram_stencil(normal_op, cfg.output_size))
+    aliased = np.asarray(extract_gram_stencil_aliased(normal_op,
+                                                      cfg.output_size))
+    np.testing.assert_allclose(aliased, dense, atol=1e-5 * np.abs(dense).max())
 
 
 def test_gram_solve_matches_direct_solve():
