@@ -89,6 +89,8 @@ def make_sr_config(args=None, num_aug: int = 100, feature_size=FEATURE_SIZE,
         "amsgrad": True, "lr_scheduler": True, "decay_steps": 60,
         "decay_rate": 0.3, "copy_dropout": 0.0, "use_BTV": False,
         "angle_max": 0.5, "sgd_copies": 0, "solver_impl": "gram",
+        "operator_impl": "fused", "warp_impl": "shear",
+        "gram_probing": "aliased",
     }
     if args is not None:
         for key in hp:
@@ -108,7 +110,8 @@ def make_sr_config(args=None, num_aug: int = 100, feature_size=FEATURE_SIZE,
         use_BTV=hp["use_BTV"], copy_dropout=hp["copy_dropout"],
         angle_max=max(float(hp["angle_max"]), 1e-3),
         sgd_copies=hp["sgd_copies"], solver_impl=hp["solver_impl"],
-        optimizer=opt)
+        operator_impl=hp["operator_impl"], warp_impl=hp["warp_impl"],
+        gram_probing=hp["gram_probing"], optimizer=opt)
 
 
 def add_sr_args(parser):
@@ -135,4 +138,17 @@ def add_sr_args(parser):
                              "on the same system (~3x fewer iterations, "
                              "equal-or-lower objective), or per-iteration "
                              "warps (reference structure)")
+    parser.add_argument("--operator_impl", type=str, default="fused",
+                        choices=["fused", "staged"],
+                        help="SR forward operator: decimations fused into "
+                             "the shear chain (default) or warp-then-resize "
+                             "(reference structure)")
+    parser.add_argument("--warp_impl", type=str, default="shear",
+                        choices=["shear", "gather"],
+                        help="warp kernel: gather is the exact tfa-semantics "
+                             "reference path (CPU parity runs only)")
+    parser.add_argument("--gram_probing", type=str, default="aliased",
+                        choices=["aliased", "dense"],
+                        help="Gram stencil extraction: 35 aliased probes "
+                             "(default) or 63 dense probes")
     return parser

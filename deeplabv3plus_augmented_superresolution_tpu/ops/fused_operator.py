@@ -1,30 +1,37 @@
 """Fused warp+downsample forward operator A_i(x) = D(W_i(x)) for the SR solve.
 
 The reference evaluates the operator as materialize-100-HR-warps then resize
-(superresolution.py:59-68). This module computes the same composition without
-ever materializing full-resolution warped copies, by folding TF-bilinear
-decimation (512->128 = 2x2 average at stride 4, offset +1) into the Paeth
-shear chain:
+(superresolution.py:59-68). This module computes the same composition with
+the decimations folded INTO the shear chain, so the second and third passes
+shrink their working set:
 
   pass A: x-shear at full resolution (the Pallas shear kernel on TPU).
-  pass B: y-shear fused with y-decimation: output has 128 rows per copy.
-  pass C: x-shear fused with x-decimation: output is the 128x128 LR map.
+  pass B: y-shear followed by y-decimation: output has 128 rows per copy.
+  pass C: x-shear at the decimated y coordinates + x-decimation: the final
+          128x128 LR map, computed from a (128, 512) intermediate — 1/4 the
+          rows of a staged pass.
 
-Sizes per copy: (512,512) -> (128,512) -> (128,128); B and C are cheap
-static-strided tap blends. Everything is dense slices/matmuls/FMAs (no
-gather/scatter), differentiable by autodiff (slice adjoints are pads,
-einsum adjoints are matmuls).
+Each decimating pass uses the identity
 
-This computes D . W_single-resample: identical to the reference up to the
-(already accepted) single-vs-double resample interpolation difference of the
-shear warp; tests/test_fused_operator.py quantifies agreement and SR-recovery
-quality.
+  dec(shift_s(x)) = Dec @ shift_s(x)
 
-STATUS: experimental. Numerically validated, but on the current axon/XLA
-stack the decimating passes' strided-slice chains lower poorly (measured ~10x
-slower than the staged Pallas path in the solve loop) — the staged operator
-(solver.py operator_impl="staged") is the production default. The intended
-endgame is a single Pallas kernel for the B/C decimating passes; see NOTES.md.
+where shift_s is the per-row fractional 2-tap shift (the shear kernel) and
+Dec is TF-bilinear 4x decimation = the fixed 2-tap stride-4 averaging matrix
+(ops/resize.resize_matrix): composing the taps gives exactly the decimated
+3-tap blend (0.5(1-t) @ f+1, 0.5 @ f+2, 0.5t @ f+3). The shift runs on the
+proven shear kernel; the decimation is one small MXU matmul. Everything is
+dense (no gather/scatter) and differentiable (shift adjoint = shift by -s,
+matmul adjoint = transposed matmul).
+
+Semantics: D . W_single-resample with pass C's shift evaluated at the
+decimated y coordinates — identical to the staged operator up to that
+<=0.1 px coordinate approximation plus the (already accepted) single-vs-
+double-resample interpolation difference of the shear warp;
+tests/test_fused_operator.py quantifies agreement and SR-recovery quality.
+Its Gram support is STRICTLY SMALLER than the staged operator's
+(dx in [-3, 3] vs [-4, 4] — pass C's 3 decimated taps replace the staged
+path's lerp-then-resize spread), which is what lets the gram solver probe it
+with a (3, 3)-radius stencil (ops/gram.py).
 """
 
 import math
@@ -34,61 +41,29 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_DEC = 4          # decimation factor 512 -> 128
 _PAD = 256        # static |shift| budget (pixels) for every pass
 
 
-def _tap_weights_lerp(r: jnp.ndarray, k_taps: int) -> jnp.ndarray:
-    """(..., K) 2-tap lerp weights for continuous offsets r in [0, k_taps-1)."""
-    f = jnp.floor(r)
-    t = (r - f)[..., None]
-    f = f.astype(jnp.int32)[..., None]
-    ks = jnp.arange(k_taps)
-    return jnp.where(f == ks, 1.0 - t, 0.0) + jnp.where(f == ks - 1, t, 0.0)
+def _decimating_shear(images: jnp.ndarray, s: jnp.ndarray, span: int,
+                      n_cand: int, out_size: int) -> jnp.ndarray:
+    """Per-row fractional shift + TF-bilinear decimation along the last axis.
 
-
-def _tap_weights_decimated(r: jnp.ndarray, k_taps: int) -> jnp.ndarray:
-    """(..., K) weights of the 2x2-average TF decimation composed with a
-    fractional shift r: taps 0.5(1-t) @ f+1, 0.5 @ f+2, 0.5t @ f+3."""
-    f = jnp.floor(r)
-    t = (r - f)[..., None]
-    f = f.astype(jnp.int32)[..., None]
-    ks = jnp.arange(k_taps)
-    return (jnp.where(f == ks - 1, 0.5 * (1.0 - t), 0.0)
-            + jnp.where(f == ks - 2, 0.5, 0.0)
-            + jnp.where(f == ks - 3, 0.5 * t, 0.0))
-
-
-def _decimating_shear(images: jnp.ndarray, s: jnp.ndarray, span: int) -> jnp.ndarray:
-    """Pass B/C core: per-row shift + 4x decimation along the last axis.
-
-    images: (N, H, W); s: (N, H) continuous shifts; returns (N, H, W//4) with
-    out[n,y,xl] = sum_j w_j(n,y) * imagepad[n, y, 4*xl + base_n + j], where w
-    are the decimated-lerp taps. All slices static except one whole-plane
-    dynamic slice per copy.
+    images: (N, H, W); s: (N, H) continuous shifts; returns (N, H, out_size).
+    Factored as full-width shift (shear kernel) then the fixed decimation
+    matmul — see module docstring for the tap identity. Any downsampling
+    ratio (the matrix is ops/resize.resize_matrix).
     """
+    from .resize import resize_matrix
+    from .shear_warp import shear_rows_dispatch
+
     n, h, w = images.shape
-    wl = w // _DEC
     s = jnp.clip(s, -_PAD + 1, _PAD - span - 8)
-    base = jnp.floor(s.min(axis=1))                         # (N,)
-    r = s - base[:, None]                                   # [0, span+1)
-    k_taps = span + 8
-    weights = _tap_weights_decimated(r, k_taps)             # (N, H, K)
-    weights = jax.lax.stop_gradient(weights)
-
-    base_i = base.astype(jnp.int32) + _PAD
-    slab_w = (wl - 1) * _DEC + k_taps + 1
-    padded = jnp.pad(images, ((0, 0), (0, 0), (_PAD, _PAD + slab_w)))
-    slab = jax.vmap(
-        lambda img, b: jax.lax.dynamic_slice_in_dim(img, b, slab_w, axis=1)
-    )(padded, base_i)                                       # (N, H, slab_w)
-
-    out = jnp.zeros((n, h, wl), jnp.float32)
-    for j in range(k_taps):
-        sl = jax.lax.slice(slab, (0, 0, j), (n, h, j + (wl - 1) * _DEC + 1),
-                           (1, 1, _DEC))                    # (N, H, wl)
-        out = out + weights[..., j:j + 1] * sl
-    return out
+    shifted = shear_rows_dispatch(images, s, span, n_cand)
+    dmat = resize_matrix(out_size, w, "bilinear")
+    # HIGHEST keeps the f32 MXU path: the decimation is part of the solve
+    # operator, whose Gram stencil is extracted to ~1e-5 exactness.
+    return jnp.einsum("nhw,lw->nhl", shifted, dmat,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def am_coef(angle_max: float) -> float:
@@ -109,7 +84,7 @@ def fused_warp_downsample(target: jnp.ndarray, angles: jnp.ndarray,
                           feature_size: Tuple[int, int] = (128, 128),
                           angle_max: float = 0.35) -> jnp.ndarray:
     """A_i(x): rotate+translate (tfa convention) then TF-bilinear downsample,
-    per copy, without materializing HR warped copies.
+    per copy, with decimation fused into the shear chain.
 
     target: (1, H, W, 1) or (H, W); returns (N, h, w, 1).
     """
@@ -117,8 +92,8 @@ def fused_warp_downsample(target: jnp.ndarray, angles: jnp.ndarray,
     img = target if squeeze_in else target[0, :, :, 0]
     h, w = img.shape
     hl, wl = feature_size
-    if (h // hl != _DEC) or (w // wl != _DEC):
-        raise ValueError("fused operator supports 4x decimation only")
+    if hl > h or wl > w:
+        raise ValueError("fused operator is a downsampling operator")
     n = angles.shape[0]
     cx = (w - 1) / 2.0
     cy = (h - 1) / 2.0
@@ -143,20 +118,27 @@ def fused_warp_downsample(target: jnp.ndarray, angles: jnp.ndarray,
     from .pallas_shear import candidates_for
     from .shear_warp import _shear_pass_x, shear_taps
 
-    n_cand = candidates_for(max(abs(math.tan(am_coef(angle_max))), 1e-3))
-    span_a = shear_taps(max(angle_max, 1e-3), h)
+    coef_a = abs(math.tan(am / 2.0))
+    coef_b = abs(math.sin(am))
+    span_a = shear_taps(am, h)
+    n_cand_a = candidates_for(max(coef_a, coef_b))
     batched = jnp.broadcast_to(img[None, :, :, None], (n, h, w, 1))
-    i1 = _shear_pass_x(batched, a, off_a, cy, span_a, n_cand)[..., 0]
+    i1 = _shear_pass_x(batched, a, off_a, cy, span_a, n_cand_a)[..., 0]
 
-    # ---- pass B: y-shear + y-decimation ----
+    # ---- pass B: y-shear + y-decimation (transposed to row-shift form) ----
     x_coords = jnp.arange(w, dtype=jnp.float32)
     s_b = b[:, None] * (x_coords[None, :] - cx) + off_b[:, None]  # (N, W)
     i1_t = jnp.swapaxes(i1, 1, 2)                            # (N, W, H)
-    i2_t = _decimating_shear(i1_t, s_b, span_b)              # (N, W, hl)
+    i2_t = _decimating_shear(i1_t, s_b, span_b,
+                             candidates_for(coef_b), hl)     # (N, W, hl)
     i2 = jnp.swapaxes(i2_t, 1, 2)                            # (N, hl, W)
 
-    # ---- pass C: x-shear + x-decimation (shift at decimated y coords) ----
-    yl_coords = _DEC * jnp.arange(hl, dtype=jnp.float32) + 1.5
+    # ---- pass C: x-shear + x-decimation. The shift is evaluated at the
+    # decimated y sample positions (TF half-pixel mapping), so the row-to-row
+    # slope is ratio_y times the HR slope — hence the scaled candidate bound.
+    ratio_y = h / hl
+    yl_coords = (jnp.arange(hl, dtype=jnp.float32) + 0.5) * ratio_y - 0.5
     s_c = a[:, None] * (yl_coords[None, :] - cy) + off_c[:, None]  # (N, hl)
-    out = _decimating_shear(i2, s_c, span_c)                 # (N, hl, wl)
+    out = _decimating_shear(i2, s_c, span_c,
+                            candidates_for(ratio_y * coef_a), wl)  # (N,hl,wl)
     return out[..., None]

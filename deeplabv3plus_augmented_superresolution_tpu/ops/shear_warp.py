@@ -186,6 +186,22 @@ def _use_pallas() -> bool:
     return _USE_PALLAS
 
 
+def shear_rows_dispatch(images: jnp.ndarray, s: jnp.ndarray, span: int,
+                        n_cand: int) -> jnp.ndarray:
+    """Per-row fractional x-shift of (N, H, W) images by s (N, H): the Pallas
+    kernel when available and the shape fits its blocking, else the XLA
+    two-level blend. Differentiable in images (shift adjoint), s is treated
+    as a constant."""
+    n, h, w = images.shape
+    s = jax.lax.stop_gradient(s)
+    from .pallas_shear import BLOCK_ROWS
+    if _use_pallas() and h % BLOCK_ROWS == 0 and w % 8 == 0:
+        from .pallas_shear import shear_rows_pallas
+
+        return shear_rows_pallas(images, s, n_cand)
+    return _shear_rows(images[..., None], s, span)[..., 0]
+
+
 def _shear_pass_x(images: jnp.ndarray, coef: jnp.ndarray, offset: jnp.ndarray,
                   center: float, span: int, n_cand: int,
                   interpolation: str = "bilinear") -> jnp.ndarray:

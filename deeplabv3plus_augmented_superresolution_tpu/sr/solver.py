@@ -59,10 +59,12 @@ class SRConfig:
     # static bound on |angles|; sizes the shear-warp tap windows
     angle_max: float = 0.35
     # operator_impl: "staged" evaluates A(x) as warp-then-resize like the
-    # reference; "fused" computes the identical composition without
-    # materializing HR warped copies (ops/fused_operator.py) — the TPU fast
-    # path for the solve's inner loop.
-    operator_impl: str = "staged"
+    # reference; "fused" (default) folds the decimations into the shear
+    # chain (ops/fused_operator.py) so the third pass runs on 1/4 the rows —
+    # same accepted single-resample semantics, cheaper fwd+vjp (the gram
+    # extraction's probe cost). Ignored (staged is used) when
+    # warp_impl="gather", which is the exact-reference-parity path.
+    operator_impl: str = "fused"
     # dtype for the per-copy warp work inside the data-fidelity term; the
     # target variable, regularizers and Adam state stay float32. bfloat16
     # halves the solve's VPU/HBM cost at ~0.4% per-warp relative error
@@ -127,7 +129,7 @@ def forward_operator(target: jnp.ndarray, angles: jnp.ndarray,
     if cfg is None:
         cfg = SRConfig(feature_size=tuple(feature_size),
                        output_size=target.shape[-3:-1], warp_impl="gather")
-    if cfg.operator_impl == "fused":
+    if cfg.operator_impl == "fused" and cfg.warp_impl == "shear":
         from ..ops.fused_operator import fused_warp_downsample
         return fused_warp_downsample(target, angles, shifts,
                                      tuple(feature_size), cfg.angle_max)

@@ -133,8 +133,12 @@ def test_uneven_aug_shards_at_production_copy_count(small_setup, mesh_shape):
                       class_id=8, mode="argmax", th_factor=0.15,
                       sr_types=("aug", "mean"))
     for k in single:
-        np.testing.assert_allclose(np.asarray(out[k][0]), np.asarray(single[k]),
-                                   atol=2e-2, err_msg=f"{k} @ mesh {mesh_shape}")
+        # Padded-aug sharded solve vs unsharded solve: identical in exact
+        # arithmetic, but f32 reassociation can flip isolated threshold-
+        # marginal pixels of the binarized masks — compare at mask level.
+        disagree = np.mean(np.asarray(out[k][0]) != np.asarray(single[k]))
+        assert disagree < 0.005, (
+            f"{k} @ mesh {mesh_shape}: mask disagreement {disagree:.4f}")
 
 
 def test_sharded_batch_with_precomputed_stencil(small_setup):
