@@ -33,6 +33,38 @@ def main():
     return run(parser.parse_args())
 
 
+# Shared-TTA stencil reuse: when staged files carry identical (angles,
+# shifts) (generate_augmented_copies --shared_tta), the gram solver's probe
+# extraction is paid ONCE — the second time a TTA set repeats, its stencil
+# is precomputed and reused for every remaining file. Module-level so it
+# also persists ACROSS sweep trials (sweep_agent calls run() in-process;
+# G depends on the staged geometry and operator config, not the lambdas).
+_SEEN_TTA = set()
+_STENCIL_CACHE = {}
+
+
+def _shared_stencil(tta_key, angles, shifts, sr_cfg):
+    """Stencil for a repeating TTA set, or None on first sighting."""
+    import jax
+
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        precompute_gram_stencil,
+    )
+
+    key = tta_key + (sr_cfg.num_aug, sr_cfg.feature_size, sr_cfg.output_size,
+                     sr_cfg.angle_max, sr_cfg.operator_impl, sr_cfg.warp_impl,
+                     sr_cfg.solve_dtype, sr_cfg.gram_probing)
+    if key not in _SEEN_TTA:
+        _SEEN_TTA.add(key)
+        return None
+    if key not in _STENCIL_CACHE:
+        _STENCIL_CACHE.clear()  # one live stencil (66 MB at 512px)
+        _STENCIL_CACHE[key] = jax.jit(
+            precompute_gram_stencil, static_argnames=("cfg",))(
+                angles, shifts, sr_cfg)
+    return _STENCIL_CACHE[key]
+
+
 def run(args):
     """Evaluate the staged class subset with args' hyperparameters; returns
     the six average IoUs. Importable entry for sweep_script/sweep_agent."""
@@ -77,12 +109,20 @@ def run(args):
             image_size=IMG_SIZE, normalize=False, is_png=True, resize_method="nearest")
 
         import jax.numpy as jnp
+        tta_key = (np.asarray(angles).tobytes(), np.asarray(shifts).tobytes())
         angles = jnp.asarray(angles)
         shifts = jnp.asarray(shifts)
         # LR feature size comes from the staged masks (128 for xception OS16,
         # 64 for mobilenet OS8)
         sr_cfg = make_sr_config(args, num_aug=args.num_aug,
                                 feature_size=tuple(class_masks.shape[1:3]))
+        gram_coeffs = None
+        stencil_ok = (sr_cfg.solver_impl in ("gram", "cg")
+                      and sr_cfg.copy_dropout == 0.0
+                      and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug))
+        if stencil_ok:
+            gram_coeffs = _shared_stencil(tta_key, angles, shifts, sr_cfg)
+
         results = {}
         for sr_type in ("aug", "max", "mean"):
             results[sr_type] = compute_sr(
@@ -92,7 +132,7 @@ def run(args):
                 save_intermediate_output=args.save_slice_output,
                 save_final_output=args.save_final_sr_output,
                 class_id=args.class_id, th_factor=args.th_factor,
-                dropout_key=jax.random.key(SEED))
+                dropout_key=jax.random.key(SEED), gram_coeffs=gram_coeffs)
 
         agg["standard_single"].append(compute_iou(
             true_mask, standard_mask, img_size=IMG_SIZE, class_id=args.class_id))

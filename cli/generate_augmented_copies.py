@@ -32,6 +32,11 @@ parser.add_argument("--class_id", help="PASCAL class to keep: only images contai
                     required=True)
 parser.add_argument("--chunk_size", help="model-forward chunk size (0 = single batch)",
                     action="store", type=int, default=0)
+parser.add_argument("--shared_tta", action="store_true",
+                    help="stage every image with the SAME augmentation set "
+                         "(statistically equivalent to per-image draws, and "
+                         "downstream solvers then reuse one Gram stencil for "
+                         "the whole directory — big sweep speedup)")
 parser.add_argument("--weights_path", type=str, default=None)
 
 
@@ -67,7 +72,8 @@ def main():
             mode=args.mode, num_aug=args.num_aug, angle_max=args.angle_max,
             shift_max=args.shift_max, image_size=IMG_SIZE,
             chunk_size=args.chunk_size,
-            dest_folder=paths["augmented_copies_dir"], seed=SEED)
+            dest_folder=paths["augmented_copies_dir"], seed=SEED,
+            shared_tta=args.shared_tta)
 
 
 if __name__ == "__main__":

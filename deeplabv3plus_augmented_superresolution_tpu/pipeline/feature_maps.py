@@ -51,10 +51,19 @@ def compute_augmented_feature_maps(params, cfg: DeepLabConfig, image_path: str,
                                    shift_max: float = 30, image_size=(512, 512),
                                    chunk_size: int = 0,
                                    dest_folder: Optional[str] = None,
-                                   seed: int = 1234):
+                                   seed: int = 1234,
+                                   shared_tta: bool = False):
     """Host-side wrapper with the reference's signature/side effects
     (augmentation_utils.py:62-138): load image, draw augmentations, run the
     fused on-device pipeline, optionally stage to hdf5.
+
+    shared_tta=True stages every image with the SAME augmentation set (the
+    seed's draw, no per-image fold-in). The reference redraws per image only
+    because np.random state advances between calls; a fixed set is
+    statistically equivalent (tests/test_gram.py::
+    test_shared_tta_set_quality_equivalent) and lets downstream solvers
+    reuse ONE Gram stencil for the whole staged directory
+    (SR_single_class / sweeps).
 
     Returns (class_masks, max_masks, angles, shifts, image_name).
     """
@@ -68,9 +77,11 @@ def compute_augmented_feature_maps(params, cfg: DeepLabConfig, image_path: str,
     image = load_image(image_path, image_size=image_size, normalize=True)
 
     # Per-image key derived from (seed, image name) so regeneration of any
-    # subset reproduces the same augmentations.
-    key = jax.random.fold_in(jax.random.key(seed),
-                             abs(hash(image_name)) % (2 ** 31))
+    # subset reproduces the same augmentations; one shared key in
+    # shared-TTA mode.
+    key = jax.random.key(seed)
+    if not shared_tta:
+        key = jax.random.fold_in(key, abs(hash(image_name)) % (2 ** 31))
     angles, shifts = sample_augmentations(key, num_aug, angle_max, shift_max)
 
     class_masks, max_masks = augmented_feature_maps(

@@ -29,15 +29,22 @@ def compute_sr(sr_cfg: SRConfig, class_masks, angles, shifts, filename: str,
                max_masks=None, save_intermediate_output: bool = False,
                save_final_output: bool = False, class_id: int = 8,
                th_factor: float = 0.15,
-               dropout_key: Optional[jax.Array] = None) -> np.ndarray:
-    """Returns the thresholded HR mask (H, W, 1) with values {0, class_id}."""
+               dropout_key: Optional[jax.Array] = None,
+               gram_coeffs=None) -> np.ndarray:
+    """Returns the thresholded HR mask (H, W, 1) with values {0, class_id}.
+
+    gram_coeffs: optional precomputed Gram stencil for THESE (angles, shifts,
+    sr_cfg) (sr.precompute_gram_stencil) — skips the per-call probe
+    extraction of the aug solve. Use when many images share one staged TTA
+    set (generate_augmented_copies --shared_tta)."""
     if sr_type not in SR_TYPES:
         raise ValueError(f"SR_type must be one of {SR_TYPES}, got {sr_type!r}")
 
     if sr_type == "aug":
         def sr_function(masks):
             return augmented_superresolution(masks, angles, shifts, sr_cfg,
-                                             dropout_key=dropout_key)
+                                             dropout_key=dropout_key,
+                                             gram_coeffs=gram_coeffs)
     elif sr_type == "mean":
         def sr_function(masks):
             return mean_superresolution(masks, angles, shifts, sr_cfg)

@@ -76,6 +76,21 @@ def test_cli_pipeline_end_to_end(fake_voc):
     assert "Avg. Standard IoUs" in out
     assert "Avg. Max SR IoUs" in out
 
+    # Shared-TTA staging: restage with one augmentation set for all images
+    # and re-evaluate — exercises the Gram-stencil reuse path in
+    # SR_single_class (second file hits the precomputed stencil).
+    out = _run(fake_voc, "generate_augmented_copies.py", *common,
+               "--num_aug", "4", "--num_samples", "2",
+               "--angle_max", "0.2", "--shift_max", "10", "--shared_tta")
+    import h5py
+    with h5py.File(os.path.join(staged, "2007_000001.hdf5")) as f1, \
+            h5py.File(os.path.join(staged, "2007_000002.hdf5")) as f2:
+        np.testing.assert_array_equal(f1["angles"][:], f2["angles"][:])
+    out = _run(fake_voc, "SR_single_class.py", *common, "--no_validation",
+               "--num_aug", "4", "--num_samples", "2", "--num_iter", "10",
+               "--angle_max", "0.2")
+    assert "Avg. Max SR IoUs" in out
+
 
 def _ensure_staged(fake_voc):
     staged = os.path.join(fake_voc, "data", "superres_root",

@@ -114,3 +114,62 @@ def test_hdf5_roundtrip_reference_layout(tmp_path):
 
     with pytest.raises(ValueError):
         load_sr_data(path, num_aug=11)  # validity check (first-dim >= num_aug)
+
+
+def test_shared_tta_staging_and_stencil_passthrough(small_model, tmp_path):
+    """--shared_tta staging gives every image identical (angles, shifts), and
+    compute_sr with the matching precomputed stencil reproduces the inline-
+    extraction solve (the sweep-amortization path)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        compute_augmented_feature_maps,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        precompute_gram_stencil,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr.orchestrate import (
+        compute_sr,
+    )
+
+    cfg, params = small_model
+    rng = np.random.default_rng(0)
+    paths = []
+    for name in ("2007_000001", "2007_000002"):
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        p = tmp_path / f"{name}.jpg"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+
+    staged = [compute_augmented_feature_maps(
+        params, cfg, p, filter_class_id=8, num_aug=6, angle_max=0.2,
+        shift_max=4, image_size=(64, 64), shared_tta=True) for p in paths]
+    (_, _, a0, s0, _), (_, _, a1, s1, _) = staged
+    np.testing.assert_array_equal(a0, a1)
+    np.testing.assert_array_equal(s0, s1)
+
+    # Per-image mode still differs between images.
+    b0 = compute_augmented_feature_maps(
+        params, cfg, paths[0], filter_class_id=8, num_aug=6, angle_max=0.2,
+        shift_max=4, image_size=(64, 64))
+    b1 = compute_augmented_feature_maps(
+        params, cfg, paths[1], filter_class_id=8, num_aug=6, angle_max=0.2,
+        shift_max=4, image_size=(64, 64))
+    assert not np.array_equal(b0[2], b1[2])
+
+    masks = jnp.asarray(staged[0][0], jnp.float32)
+    masks = (masks - masks.min()) / (masks.max() - masks.min() + 1e-9)
+    angles, shifts = jnp.asarray(a0), jnp.asarray(s0)
+    sr_cfg = SRConfig(num_aug=6, feature_size=masks.shape[1:3],
+                      output_size=(64, 64), angle_max=0.2, num_iter=20,
+                      solver_impl="gram",
+                      optimizer=OptimizerConfig(learning_rate=1e-2))
+    coeffs = precompute_gram_stencil(angles, shifts, sr_cfg)
+    with_stencil = compute_sr(sr_cfg, masks, angles, shifts, "x",
+                              sr_type="aug", class_id=8, th_factor=0.5,
+                              gram_coeffs=coeffs)
+    inline = compute_sr(sr_cfg, masks, angles, shifts, "x", sr_type="aug",
+                        class_id=8, th_factor=0.5)
+    np.testing.assert_allclose(with_stencil, inline, atol=1e-6)
