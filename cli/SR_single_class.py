@@ -35,16 +35,21 @@ def main():
 
 # Shared-TTA stencil reuse: when staged files carry identical (angles,
 # shifts) (generate_augmented_copies --shared_tta), the gram solver's probe
-# extraction is paid ONCE — the second time a TTA set repeats, its stencil
-# is precomputed and reused for every remaining file. Module-level so it
-# also persists ACROSS sweep trials (sweep_agent calls run() in-process;
-# G depends on the staged geometry and operator config, not the lambdas).
-_SEEN_TTA = set()
+# extraction is paid ONCE — the second time a TTA set repeats WITHIN a run,
+# its stencil is precomputed and reused for every remaining file. The cache
+# is module-level so it also persists ACROSS sweep trials (sweep_agent calls
+# run() in-process; G depends on the staged geometry and operator config,
+# not the lambdas). Per-image-TTA staging never repeats a key within a run,
+# so it never triggers a standalone extraction (the inline-extraction solve
+# is strictly cheaper there).
 _STENCIL_CACHE = {}
+_EXTRACT_JIT = None
 
 
-def _shared_stencil(tta_key, angles, shifts, sr_cfg):
-    """Stencil for a repeating TTA set, or None on first sighting."""
+def _shared_stencil(tta_key, run_seen, angles, shifts, sr_cfg):
+    """Stencil for a TTA set repeating within this run (or already cached
+    from an earlier trial), else None."""
+    global _EXTRACT_JIT
     import jax
 
     from deeplabv3plus_augmented_superresolution_tpu.sr import (
@@ -54,14 +59,16 @@ def _shared_stencil(tta_key, angles, shifts, sr_cfg):
     key = tta_key + (sr_cfg.num_aug, sr_cfg.feature_size, sr_cfg.output_size,
                      sr_cfg.angle_max, sr_cfg.operator_impl, sr_cfg.warp_impl,
                      sr_cfg.solve_dtype, sr_cfg.gram_probing)
-    if key not in _SEEN_TTA:
-        _SEEN_TTA.add(key)
+    if key in _STENCIL_CACHE:
+        return _STENCIL_CACHE[key]
+    if key not in run_seen:
+        run_seen.add(key)
         return None
-    if key not in _STENCIL_CACHE:
-        _STENCIL_CACHE.clear()  # one live stencil (66 MB at 512px)
-        _STENCIL_CACHE[key] = jax.jit(
-            precompute_gram_stencil, static_argnames=("cfg",))(
-                angles, shifts, sr_cfg)
+    if _EXTRACT_JIT is None:  # one persistent wrapper: compile once
+        _EXTRACT_JIT = jax.jit(precompute_gram_stencil,
+                               static_argnames=("cfg",))
+    _STENCIL_CACHE.clear()  # one live stencil (66 MB at 512px)
+    _STENCIL_CACHE[key] = _EXTRACT_JIT(angles, shifts, sr_cfg)
     return _STENCIL_CACHE[key]
 
 
@@ -92,6 +99,7 @@ def run(args):
 
     agg = {k: [] for k in ["standard_single", "standard_multiple", "aug_single",
                            "aug_multiple", "max", "mean"]}
+    run_seen = set()  # TTA keys seen in THIS run (shared-staging detection)
 
     for filepath in tqdm(path_list):
         try:
@@ -121,7 +129,8 @@ def run(args):
                       and sr_cfg.copy_dropout == 0.0
                       and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug))
         if stencil_ok:
-            gram_coeffs = _shared_stencil(tta_key, angles, shifts, sr_cfg)
+            gram_coeffs = _shared_stencil(tta_key, run_seen, angles, shifts,
+                                          sr_cfg)
 
         results = {}
         for sr_type in ("aug", "max", "mean"):

@@ -104,6 +104,7 @@ def main():
         angles_s, shifts_s = sample_augmentations(
             jax.random.key(SEED), args.num_aug, args.angle_max, args.shift_max)
         if (sr_cfg.solver_impl in ("gram", "cg") and "aug" in sr_types
+                and sr_cfg.copy_dropout == 0.0
                 and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug)):
             from deeplabv3plus_augmented_superresolution_tpu.sr import (
                 precompute_gram_stencil,
@@ -175,12 +176,17 @@ def main():
         q: "queue.Queue" = queue.Queue(maxsize=args.prefetch)
 
         def producer():
-            for p in paths:
-                q.put(load_one(p))
-            q.put(None)
+            try:
+                for p in paths:
+                    q.put(load_one(p))
+                q.put(None)
+            except BaseException as exc:  # deliver the failure, don't hang
+                q.put(exc)
 
         threading.Thread(target=producer, daemon=True).start()
         while (item := q.get()) is not None:
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     if args.batch > 1:
@@ -194,8 +200,10 @@ def main():
         )
 
         n_dev = len(jax.devices())
+        # The "data" axis must divide BOTH the device count (mesh factoring)
+        # and the batch size (GSPMD shards the leading image dim evenly).
         data_ax = min(args.batch, n_dev)
-        while n_dev % data_ax:
+        while n_dev % data_ax or args.batch % data_ax:
             data_ax -= 1
         mesh = make_mesh(shape=(data_ax, n_dev // data_ax))
         batch_fn = make_asr_batch_fn(mesh, model_cfg, sr_cfg,
@@ -204,10 +212,33 @@ def main():
                                      sr_types=sr_types,
                                      gram_coeffs=gram_coeffs)
 
+        # Model params and the (fixed) augmentation arrays are sharded ONCE,
+        # not re-broadcast per batch; the cache is dropped on a device
+        # failure so device_resilient retries re-place them.
+        _shard_cache = {}
+
+        def _sharded_consts():
+            if not _shard_cache:
+                a_c = np.broadcast_to(np.asarray(angles_s),
+                                      (args.batch,) + angles_s.shape)
+                s_c = np.broadcast_to(np.asarray(shifts_s),
+                                      (args.batch,) + shifts_s.shape)
+                dummy = np.zeros((args.batch,) + IMG_SIZE + (3,), np.float32)
+                p, im, a, s = shard_batch(mesh, params, dummy, a_c, s_c)
+                _shard_cache.update(params=p, angles=a, shifts=s,
+                                    im_sharding=im.sharding)
+            return _shard_cache
+
         @device_resilient(max_retries=2)
-        def run_batch(images, angles, shifts):
-            out = batch_fn(*shard_batch(mesh, params, images, angles, shifts))
-            return {k: np.asarray(v) for k, v in out.items()}
+        def run_batch(images):
+            try:
+                c = _sharded_consts()
+                im = jax.device_put(images, c["im_sharding"])
+                out = batch_fn(c["params"], im, c["angles"], c["shifts"])
+                return {k: np.asarray(v) for k, v in out.items()}
+            except Exception:
+                _shard_cache.clear()
+                raise
 
         def batched_inputs():
             names, imgs = [], []
@@ -243,11 +274,9 @@ def main():
                                                class_id=args.class_id))
 
     if args.batch > 1:
-        a_b = np.broadcast_to(np.asarray(angles_s), (args.batch,) + angles_s.shape)
-        s_b = np.broadcast_to(np.asarray(shifts_s), (args.batch,) + shifts_s.shape)
         for names, images in tqdm(batched_inputs(),
                                   total=-(-len(paths) // args.batch)):
-            out = run_batch(images, a_b, s_b)
+            out = run_batch(images)
             if steady_start is None:
                 steady_start = time.time()
             else:

@@ -150,6 +150,14 @@ def main():
     metric = sweep.get("metric", {}).get("name", "aug_iou_single")
     goal = sweep.get("metric", {}).get("goal", "maximize")
     sign = 1.0 if goal == "maximize" else -1.0
+    # Fail fast on a metric name the evaluator never produces — otherwise the
+    # first (expensive) trial completes and then crashes on a None value.
+    known_metrics = ("standard_iou_single", "standard_iou_multiple",
+                     "aug_iou_single", "aug_iou_multiple", "max_iou",
+                     "mean_iou", "runtime_s")
+    if metric not in known_metrics:
+        raise SystemExit(f"Unknown sweep metric {metric!r}; choose one of "
+                         f"{known_metrics}")
 
     import sweep_script
 

@@ -23,13 +23,6 @@ jax.custom_vjp.
 
 import functools
 import math
-import os
-
-# The axon remote-compile helper for Pallas/Mosaic needs these identifiers;
-# they are harmless on other backends.
-os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
-os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
-os.environ.setdefault("TPU_WORKER_ID", "0")
 
 import jax
 import jax.numpy as jnp

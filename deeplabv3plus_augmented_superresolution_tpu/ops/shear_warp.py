@@ -112,9 +112,19 @@ def _pallas_available() -> bool:
     if os.environ.get("DSR_DISABLE_PALLAS"):
         return False
     try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
+        ok = jax.devices()[0].platform not in ("cpu", "gpu")
     except Exception:
         return False
+    if ok:
+        # The axon remote-compile helper for Pallas/Mosaic needs these
+        # identifiers. Set here — after the backend is known — rather than at
+        # library import: defaulting TPU_WORKER_ID=0/hostnames=localhost
+        # globally could poison a real multi-host bring-up that discovers its
+        # topology elsewhere (setdefault never overrides a launcher's values).
+        os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+        os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+        os.environ.setdefault("TPU_WORKER_ID", "0")
+    return ok
 
 
 def _pallas_self_test() -> bool:

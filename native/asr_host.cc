@@ -255,9 +255,18 @@ struct Ring {
                                tmp.data());
       const size_t slot = idx % slots.size();
       std::unique_lock<std::mutex> lock(mu);
-      // In-order delivery: wait until the consumer has freed this slot's
-      // previous occupant (index idx - capacity).
-      cv_free.wait(lock, [&] { return stopping || slot_state[slot] == 0; });
+      // In-order delivery: this slot may only be written once its previous
+      // occupant (index idx - capacity) has been CONSUMED, i.e. when idx is
+      // inside the consumer's window. slot_state == 0 alone cannot tell
+      // "never filled" apart from "consumed": with more workers than
+      // in-window indices, the worker for idx + capacity could otherwise
+      // overwrite the still-pending slot of idx and deliver under the wrong
+      // index. next_to_consume counts the consumed prefix (advanced only
+      // after the copy-out), so the window test is exact.
+      cv_free.wait(lock, [&] {
+        return stopping ||
+               (idx < next_to_consume + slots.size() && slot_state[slot] == 0);
+      });
       if (stopping) return;
       if (ok) slots[slot].swap(tmp);
       slot_state[slot] = ok ? 1 : -1;
@@ -269,13 +278,14 @@ struct Ring {
   int next(float* out, int* index) {
     std::unique_lock<std::mutex> lock(mu);
     if (next_to_consume >= paths.size()) return 0;
-    const size_t idx = next_to_consume++;
+    const size_t idx = next_to_consume;  // advanced only after the copy-out
     const size_t slot = idx % slots.size();
     cv_ready.wait(lock, [&] { return slot_state[slot] != 0; });
     const int state = slot_state[slot];
     if (state == 1)
       std::memcpy(out, slots[slot].data(), frame_elems * sizeof(float));
     slot_state[slot] = 0;
+    next_to_consume = idx + 1;
     *index = int(idx);
     cv_free.notify_all();
     return state == 1 ? 1 : -1;

@@ -68,3 +68,38 @@ def test_decode_error_raises(tmp_path):
     bad.write_bytes(b"this is not a jpeg")
     with pytest.raises(IOError):
         native_loader.load_image_native(str(bad), (64, 64))
+
+
+def test_ring_ordering_under_contention(tmp_path):
+    """Regression for the slot-claim race: with more workers than in-window
+    indices, a worker finishing image idx+capacity early must NOT write its
+    slot before image idx's occupant is consumed. Distinct solid-color
+    images make any index/content swap detectable (JPEG keeps solid colors
+    within ~2/255)."""
+    from PIL import Image
+
+    n = 48
+    paths = []
+    for i in range(n):
+        val = int(255 * (i + 1) / (n + 1))
+        img = np.full((32, 32, 3), val, np.uint8)
+        p = tmp_path / f"img_{i:03d}.jpg"
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(str(p))
+
+    for repeat in range(3):  # races are probabilistic — hammer it a little
+        ring = native_loader.ImageRing(paths, (32, 32), normalize=True,
+                                       n_threads=4, capacity=2)
+        try:
+            got = 0
+            for i, frame in ring:
+                expect = (i + 1) / (n + 1)
+                mean = float(frame.mean())
+                assert abs(mean - expect) < 0.02, (
+                    f"repeat {repeat}: index {i} delivered content with mean "
+                    f"{mean:.4f}, expected ~{expect:.4f} — index/content swap")
+                assert i == got, f"out-of-order delivery: {i} after {got - 1}"
+                got += 1
+            assert got == n
+        finally:
+            ring.close()
