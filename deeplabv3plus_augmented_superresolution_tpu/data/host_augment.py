@@ -298,3 +298,22 @@ def random_transform(image: np.ndarray, mask: np.ndarray,
     if shift_range is not None:
         img, gt = random_crop(img, gt, tuple(target_shape), rng)
     return img, gt
+
+
+def list_files(pathname):
+    """Plain files directly under a directory (reference image_utils.py:23)."""
+    import os
+
+    return [f for f in os.listdir(pathname)
+            if os.path.isfile(os.path.join(pathname, f))]
+
+
+def bytes_read(filename):
+    """Raw file bytes (reference image_utils.py:27)."""
+    with open(filename, "rb") as f:
+        return f.read()
+
+
+def image_histogram(im):
+    """(colors, counts) over an RGB image (reference image_utils.py:84-91)."""
+    return np.unique(im.reshape(-1, im.shape[2]), axis=0, return_counts=True)

@@ -1,7 +1,8 @@
 from .resize import resize, resize_matrix
 from .shear_warp import paeth_inverse_rotate_translate, paeth_rotate_translate
 from .fused_operator import fused_warp_downsample
-from .opm import create_mask, extract_masks, min_max_normalization, prepare_sr_inputs
+from .opm import (create_mask, extract_masks, get_prediction,
+                  min_max_normalization, prepare_sr_inputs)
 from .gradients import bilateral_tv, image_gradients, total_variation
 from .warp import (
     affine_warp,
@@ -20,6 +21,7 @@ __all__ = [
     "paeth_inverse_rotate_translate",
     "fused_warp_downsample",
     "create_mask",
+    "get_prediction",
     "extract_masks",
     "min_max_normalization",
     "prepare_sr_inputs",

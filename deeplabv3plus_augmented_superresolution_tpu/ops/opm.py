@@ -94,3 +94,12 @@ def prepare_sr_inputs(class_masks: jnp.ndarray,
 def create_mask(prediction: jnp.ndarray) -> jnp.ndarray:
     """Argmax label image with trailing channel dim (reference utils.py:115-119)."""
     return jnp.argmax(prediction, axis=-1)[..., None]
+
+
+def get_prediction(apply_fn, params, image: jnp.ndarray) -> jnp.ndarray:
+    """Single-image forward -> argmax mask (reference utils.py:122-127:
+    model.predict on a batch of one, then create_mask of the first output).
+
+    apply_fn: the (params, batch) forward from models.build_model."""
+    prediction = apply_fn(params, image[None])
+    return create_mask(prediction[0])

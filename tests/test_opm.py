@@ -78,3 +78,25 @@ def test_create_mask():
     m = np.asarray(create_mask(preds[0]))
     assert m.shape == (8, 8, 1)
     np.testing.assert_array_equal(m[..., 0], preds[0].argmax(-1))
+
+
+def test_get_prediction_single_image_surface():
+    """get_prediction(apply_fn, params, image) == create_mask of a one-image
+    forward (reference utils.py:122-127)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig, build_model)
+    from deeplabv3plus_augmented_superresolution_tpu.ops import (
+        create_mask, get_prediction)
+
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), backbone="mobilenet",
+                        final_upsample=False)
+    params, apply_fn = build_model(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    mask = get_prediction(apply_fn, params, image)
+    want = create_mask(apply_fn(params, image[None])[0])
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(want))
+    assert mask.shape[-1] == 1
