@@ -43,9 +43,13 @@ def _run(workdir, script, *args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["DSR_DISABLE_PALLAS"] = "1"
+    # Generous cap: each CLI subprocess pays its own XLA compiles, which take
+    # minutes on a single-core host and stretch further under suite-wide CPU
+    # contention (the whole test file shares the box with other workers).
     result = subprocess.run(
         [sys.executable, os.path.join(CLI, script), *args],
-        cwd=str(workdir), env=env, capture_output=True, text=True, timeout=900)
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=2400)
     assert result.returncode == 0, \
         f"{script} failed:\nSTDOUT:{result.stdout[-3000:]}\nSTDERR:{result.stderr[-3000:]}"
     return result.stdout
