@@ -60,11 +60,18 @@ def main():
     num_aug = int(os.environ.get("BENCH_NUM_AUG", 100))
     num_iter = int(os.environ.get("BENCH_NUM_ITER", 300))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    # Images per device program in serving mode (strict mode is per-image).
-    batch = max(int(os.environ.get("BENCH_BATCH", 4)), 1)
     # BENCH_STRICT=1: redraw the augmentation set per image (probe extraction
     # inside every solve) instead of the serving default's fixed TTA set.
     strict = os.environ.get("BENCH_STRICT") == "1"
+    # BENCH_SOLVE_ONLY=1: time ONLY the solve stage (precomputed LR masks ->
+    # aug/max/mean SR -> threshold), the exact workload the reference's
+    # 0.392 img/s baseline covers (its forward/warp staging ran beforehand
+    # into hdf5 and is outside its timing loop).
+    solve_only = os.environ.get("BENCH_SOLVE_ONLY") == "1"
+    # Images per device program. Strict mode defaults to batch=1 so the
+    # reference-behavior row reflects per-image dispatch like the reference's
+    # one-program-per-image loop; serving mode defaults to 4 (run_asr --batch).
+    batch = max(int(os.environ.get("BENCH_BATCH", 1 if strict else 4)), 1)
     # Stochastic copy-minibatching (25/100 copies per solver iteration):
     # quality-equivalent on the synthetic-recovery suite (tests/test_solver)
     # and endorsed by the reference's own copy_dropout sweeps; set 0 for the
@@ -131,7 +138,59 @@ def main():
         # through the axon tunnel; each separate fetch costs ~30ms).
         return float(sum(jnp.sum(v) for v in out.values()))
 
-    if strict:
+    if solve_only:
+        # Staged-equivalent accounting: the timed program is ONLY what the
+        # reference times in its solve loop (SR_single_class.py: hdf5 masks ->
+        # aug solve + max/mean SR -> threshold). The forward/OPM staging runs
+        # untimed beforehand, like the reference's generate_augmented_copies
+        # stage. Extraction is paid inside the timed solve (per-image TTA
+        # sets, matching the reference's per-image hdf5 files).
+        from deeplabv3plus_augmented_superresolution_tpu.models.deeplab import (
+            forward,
+        )
+        from deeplabv3plus_augmented_superresolution_tpu.ops.opm import (
+            extract_masks,
+            prepare_sr_inputs,
+        )
+        from deeplabv3plus_augmented_superresolution_tpu.pipeline.augment import (
+            make_augmented_copies,
+        )
+        from deeplabv3plus_augmented_superresolution_tpu.sr import (
+            augmented_superresolution,
+            max_mean_superresolution,
+            threshold_image,
+        )
+
+        def stage_masks(a, s):
+            copies = make_augmented_copies(image.astype(jnp.bfloat16), a, s,
+                                           num_aug, angle_max=sr_cfg.angle_max)
+            preds = forward(params, copies, model_cfg)
+            cm, mm = extract_masks(preds, 8, "argmax")
+            cm, _ = prepare_sr_inputs(cm, mm, "argmax", True)
+            return cm
+
+        @jax.jit
+        def solve(masks, a, s):
+            est, _ = augmented_superresolution(masks, a, s, sr_cfg)
+            mx, mean = max_mean_superresolution(masks, a, s, sr_cfg)
+            return (threshold_image(est, 8, th_factor=0.2),
+                    threshold_image(mx, 8, th_factor=0.2),
+                    threshold_image(mean, 8, th_factor=0.2))
+
+        def run_solve(masks, a, s):
+            return float(sum(jnp.sum(v) for v in solve(masks, a, s)))
+
+        draws = [sample_augmentations(jax.random.key(1000 * i), num_aug,
+                                      0.15, 80) for i in range(repeats + 1)]
+        staged = [(stage_masks(a, s), a, s) for a, s in draws]
+        run_solve(*staged[0])  # compile
+        times = []
+        for masks, a, s in staged[1:]:
+            t0 = time.time()
+            run_solve(masks, a, s)
+            times.append(time.time() - t0)
+        dt = min(times)
+    elif strict:
         # Per-image augmentation sets: different values, same shapes (one
         # compile); each timed run pays the probe extraction like the
         # reference's staged workflow re-randomizes per image. BENCH_BATCH
@@ -191,16 +250,23 @@ def main():
         dt = min(times)
     images_per_sec = 1.0 / dt
 
-    mode_str = (("per-image augs" if strict
-                 else "serving mode: fixed TTA set, stencil amortized")
-                + (f", batch={batch}" if batch > 1 else ""))
+    if solve_only:
+        mode_str = "solve stage only (staged-equivalent to the ref baseline)"
+        stages = "aug+max+mean from precomputed masks"
+    else:
+        mode_str = (("strict: per-image augs, per-image dispatch" if strict
+                     else "serving mode: fixed TTA set, stencil amortized")
+                    + (f", batch={batch}" if batch > 1 else ""))
+        stages = "FULL pipeline (fwd+OPM+aug+max+mean+standard)"
     print(json.dumps({
         "metric": "asr_e2e_images_per_sec",
         "value": round(images_per_sec, 4),
         "unit": (f"images/s (512px, {num_aug} copies, {num_iter} iters, "
                  f"solver={solver_impl}, sgd_copies={sgd_copies}"
                  f"{', fast-preset' if fast else ''}, {mode_str}, "
-                 "aug+max+mean+standard, 1 chip)"),
+                 f"{stages}, 1 chip; ref 0.392 img/s baseline covers its "
+                 "solve stage only — BENCH_SOLVE_ONLY=1 for the "
+                 "like-for-like row)"),
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
     }))
 

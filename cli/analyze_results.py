@@ -84,6 +84,52 @@ def main():
                 ax.figure.savefig(path.replace(".csv", "_lambda_space.png"),
                                   dpi=120, bbox_inches="tight")
 
+    # Final per-class validation CSVs (the reference's plot_cvs.ipynb last
+    # cells: per-class IoU bars + ASR-standard deltas). Schema is the
+    # reference final_validations CSVs': one "Class N" row per class with
+    # aug/standard/max/mean IoU columns (argmax_validation_final.csv:1).
+    for path in sorted(glob.glob(os.path.join(args.experiments_dir,
+                                              "*validation*.csv"))):
+        found = True
+        df = pd.read_csv(path)
+        iou_cols = [c for c in ("aug_iou_single", "standard_iou_single",
+                                "aug_iou_multiple", "standard_iou_multiple",
+                                "max_iou", "mean_iou") if c in df]
+        if "Name" not in df or not iou_cols:
+            continue
+        name = os.path.basename(path)
+        means = df[iou_cols].mean()
+        print(f"[validation] {name}: " +
+              " ".join(f"{c}={means[c]:.4f}" for c in iou_cols))
+        if {"aug_iou_single", "standard_iou_single"} <= set(df):
+            delta = (df["aug_iou_single"] - df["standard_iou_single"]).mean()
+            print(f"[validation] {name}: mean ASR-standard delta = {delta:+.4f}")
+        if not args.no_plots:
+            fig, axes = plt.subplots(
+                2 if {"aug_iou_single", "standard_iou_single"} <= set(df) else 1,
+                1, figsize=(12, 8), squeeze=False)
+            x = range(len(df))
+            width = 0.8 / len(iou_cols)
+            for i, c in enumerate(iou_cols):
+                axes[0][0].bar([xi + i * width for xi in x], df[c],
+                               width=width, label=c)
+            axes[0][0].set_xticks([xi + 0.4 for xi in x])
+            axes[0][0].set_xticklabels(df["Name"], rotation=45, ha="right")
+            axes[0][0].set_ylabel("IoU")
+            axes[0][0].set_title(f"per-class IoU — {name}")
+            axes[0][0].legend(fontsize=7)
+            if len(axes) > 1:
+                d = df["aug_iou_single"] - df["standard_iou_single"]
+                axes[1][0].bar(x, d, color=["#2a7" if v >= 0 else "#c33"
+                                            for v in d])
+                axes[1][0].set_xticks(list(x))
+                axes[1][0].set_xticklabels(df["Name"], rotation=45, ha="right")
+                axes[1][0].set_ylabel("ASR - standard IoU")
+                axes[1][0].axhline(0, color="k", lw=0.5)
+            fig.tight_layout()
+            fig.savefig(path.replace(".csv", "_per_class.png"), dpi=120,
+                        bbox_inches="tight")
+
     if not found:
         print(f"No experiment CSVs found under {args.experiments_dir}; run "
               "threshold_tests.py / check_robustness.py / sweep_script.py first.")

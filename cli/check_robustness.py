@@ -76,7 +76,7 @@ def main():
     from functools import partial
 
     @partial(jax.jit, static_argnames=())
-    def combo_miou(p, imgs, gt, angle, sx, sy):
+    def combo_iou_sums(p, imgs, gt, angle, sx, sy):
         n = imgs.shape[0]
         angles = jnp.full((n,), angle, jnp.float32)
         shifts = jnp.broadcast_to(jnp.asarray([sx, sy], jnp.float32), (n, 2))
@@ -94,7 +94,10 @@ def main():
 
         ious = jax.vmap(one)(gt_aug[..., 0], pred)
         valid = ~jnp.isnan(ious)
-        return jnp.sum(jnp.where(valid, ious, 0.0)) / jnp.sum(valid)
+        # (sum, count) so the caller can weight the combo mean PER IMAGE
+        # across ragged batches, matching the reference's all-image
+        # accounting (check_robustness.py:113-126).
+        return jnp.sum(jnp.where(valid, ious, 0.0)), jnp.sum(valid)
 
     angles = np.arange(-args.angle_range, args.angle_range + 1e-6, args.angle_step)
     shift_vals = np.linspace(-args.shift_max, args.shift_max, args.shift_steps)
@@ -104,22 +107,26 @@ def main():
         f"robustness_{args.num_samples}_class_{args.class_id if args.class_id is not None else 'all'}.csv")
     os.makedirs(os.path.dirname(out_csv), exist_ok=True)
 
-    n_batches = max(1, len(image_paths) // args.batch_size)
+    # Ceil division: the ragged tail batch contributes too (the reference
+    # scores every sampled image). At most one extra compiled shape.
+    n_batches = -(-len(image_paths) // args.batch_size)
     with open(out_csv, "w", newline="") as f:
         writer = csv.writer(f)
         writer.writerow(["Angle", "Shift_x", "Shift_y", "Mean_IoU"])
         for angle in tqdm(angles):
             for sx in shift_vals:
                 for sy in shift_vals:
-                    # batch over images to bound memory
-                    vals = []
+                    # batch over images to bound memory; per-image weighting
+                    tot, cnt = 0.0, 0.0
                     for b in range(n_batches):
                         sl = slice(b * args.batch_size, (b + 1) * args.batch_size)
-                        vals.append(float(combo_miou(params, images[sl], gts[sl],
-                                                     float(angle), float(sx),
-                                                     float(sy))))
+                        s, c = combo_iou_sums(params, images[sl], gts[sl],
+                                              float(angle), float(sx), float(sy))
+                        tot += float(s)
+                        cnt += float(c)
+                    miou = tot / cnt if cnt else float("nan")
                     writer.writerow([round(float(angle), 4), float(sx), float(sy),
-                                     float(np.nanmean(vals))])
+                                     miou])
                     f.flush()
     print(f"Wrote {out_csv}")
 

@@ -48,7 +48,46 @@ parser.add_argument("--batch", type=int, default=0,
                          "batch shards over ('data','aug')")
 parser.add_argument("--weights_path", type=str, default=None)
 parser.add_argument("--limit", type=int, default=None)
+parser.add_argument("--writer_threads", type=int, default=4,
+                    help="artifact-writer pool size (device->host mask fetch "
+                         "+ PNG encode + IoU scoring overlapped with device "
+                         "compute; 0 = synchronous writes)")
 add_sr_args(parser)
+
+
+class ArtifactWriter:
+    """Bounded async writer: the consume loop hands each result (still a
+    DEVICE array dict) to this pool, which fetches, PNG-encodes and scores it
+    while the device runs the next program. The reference saves PNGs inline in
+    its solve loop (superres_utils.py:262-271); synchronous writes here cost
+    ~2.5x sustained throughput on a 1-core host (NOTES.md) because every mask
+    fetch pays the device tunnel and every encode blocks the dispatch thread.
+    """
+
+    def __init__(self, n_threads: int, max_pending: int = 16):
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.pool = ThreadPoolExecutor(max_workers=max(n_threads, 1))
+        self.sem = threading.BoundedSemaphore(max_pending)
+        self.lock = threading.Lock()
+        self.futures = []
+
+    def submit(self, fn, *args):
+        self.sem.acquire()
+
+        def task():
+            try:
+                return fn(*args)
+            finally:
+                self.sem.release()
+
+        self.futures.append(self.pool.submit(task))
+
+    def close(self):
+        for f in self.futures:
+            f.result()  # propagate writer errors
+        self.pool.shutdown()
 
 
 def main():
@@ -117,17 +156,34 @@ def main():
             print(f"gram stencil precomputed once in {time.time() - t0:.1f}s "
                   "(amortized across all images)")
 
+    import jax.numpy as jnp
+
+    # Host->device transfers ride a ~60-100 ms-latency tunnel at ~60 MB/s
+    # (measured); ship images in the model's compute dtype (bf16 halves the
+    # f32 bytes and is numerically identical — asr_step casts its input to
+    # bf16 at entry anyway) and fetch all output masks as ONE packed uint8
+    # array (one roundtrip instead of one per SR type).
+    import ml_dtypes
+    host_dtype = (ml_dtypes.bfloat16
+                  if model_cfg.compute_dtype == "bfloat16" else np.float32)
+    out_keys = tuple(sorted(set(sr_types) | {"standard"}))
+    pack_out = jax.jit(
+        lambda d: jnp.stack([d[k].astype(jnp.uint8) for k in out_keys]))
+
     @device_resilient(max_retries=2)
     def run_one(image, angles, shifts):
         out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
                        class_id=args.class_id, mode=args.mode,
                        th_factor=args.th_factor, sr_types=sr_types,
                        gram_coeffs=gram_coeffs)
-        return {k: np.asarray(v) for k, v in out.items()}
+        # packed device array; the writer fetches it overlapped with the
+        # next image's dispatch.
+        return pack_out(out)
 
     def load_one(path):
         name = os.path.splitext(os.path.basename(path))[0]
-        image = load_image(path, image_size=IMG_SIZE, normalize=True)
+        image = np.asarray(load_image(path, image_size=IMG_SIZE,
+                                      normalize=True)).astype(host_dtype)
         if shared:
             angles, shifts = angles_s, shifts_s
         else:
@@ -157,6 +213,7 @@ def main():
             try:
                 for i, image in ring:
                     name = os.path.splitext(os.path.basename(paths[i]))[0]
+                    image = np.asarray(image).astype(host_dtype)
                     if shared:
                         yield name, image, angles_s, shifts_s
                     else:
@@ -210,7 +267,8 @@ def main():
                                      class_id=args.class_id, mode=args.mode,
                                      th_factor=args.th_factor,
                                      sr_types=sr_types,
-                                     gram_coeffs=gram_coeffs)
+                                     gram_coeffs=gram_coeffs,
+                                     pack_uint8=True)
 
         # Model params and the (fixed) augmentation arrays are sharded ONCE,
         # not re-broadcast per batch; the cache is dropped on a device
@@ -223,7 +281,7 @@ def main():
                                       (args.batch,) + angles_s.shape)
                 s_c = np.broadcast_to(np.asarray(shifts_s),
                                       (args.batch,) + shifts_s.shape)
-                dummy = np.zeros((args.batch,) + IMG_SIZE + (3,), np.float32)
+                dummy = np.zeros((args.batch,) + IMG_SIZE + (3,), host_dtype)
                 p, im, a, s = shard_batch(mesh, params, dummy, a_c, s_c)
                 _shard_cache.update(params=p, angles=a, shifts=s,
                                     im_sharding=im.sharding)
@@ -235,7 +293,9 @@ def main():
                 c = _sharded_consts()
                 im = jax.device_put(images, c["im_sharding"])
                 out = batch_fn(c["params"], im, c["angles"], c["shifts"])
-                return {k: np.asarray(v) for k, v in out.items()}
+                # One packed device array; the writer fetches it (one tunnel
+                # roundtrip) while the next batch's program runs.
+                return pack_out(out)
             except Exception:
                 _shard_cache.clear()
                 raise
@@ -259,19 +319,44 @@ def main():
     start = time.time()
     steady_start = None
     n_done = 0
+    writer = ArtifactWriter(args.writer_threads) if args.writer_threads else None
 
     def emit(name, out_masks):
+        """Encode + score host-side masks — runs on the writer pool."""
         for k, mask in out_masks.items():
             save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
-                     mask, scale=False)
+                     mask, scale=False, compress_level=1)
         if args.gt_dir:
             gt_path = os.path.join(args.gt_dir, f"{name}.png")
             if os.path.exists(gt_path):
                 gt = load_image(gt_path, image_size=IMG_SIZE, normalize=False,
                                 is_png=True, resize_method="nearest")
-                for k, mask in out_masks.items():
-                    ious[k].append(compute_iou(gt, mask,
-                                               class_id=args.class_id))
+                scores = {k: compute_iou(gt, mask, class_id=args.class_id)
+                          for k, mask in out_masks.items()}
+                lock = writer.lock if writer else None
+                if lock:
+                    lock.acquire()
+                try:
+                    for k, v in scores.items():
+                        ious[k].append(v)
+                finally:
+                    if lock:
+                        lock.release()
+
+    def emit_packed(names, packed):
+        """One device->host fetch for the whole batch, then encode+score."""
+        arr = np.asarray(packed)            # (K, ...) or (K, B, ...)
+        if isinstance(names, str):
+            emit(names, {k: arr[j] for j, k in enumerate(out_keys)})
+        else:
+            for i, name in enumerate(names):
+                emit(name, {k: arr[j][i] for j, k in enumerate(out_keys)})
+
+    def dispatch_emit(names, packed):
+        if writer:
+            writer.submit(emit_packed, names, packed)
+        else:
+            emit_packed(names, packed)
 
     if args.batch > 1:
         for names, images in tqdm(batched_inputs(),
@@ -281,14 +366,17 @@ def main():
                 steady_start = time.time()
             else:
                 n_done += len(names)  # steady-state counts post-compile work
-            for i, name in enumerate(names):
-                emit(name, {k: v[i] for k, v in out.items()})
+            dispatch_emit(names, out if len(names) == args.batch
+                          else out[:, :len(names)])
+        if writer:
+            writer.close()  # drain: steady-state includes artifact writes
         n_total = len(paths)
         wall = time.time() - start
         msg = f"{n_total} images in {wall:.1f}s ({n_total / wall:.2f} img/s incl. first compile"
         if n_done and steady_start is not None:
             steady = n_done / max(time.time() - steady_start, 1e-9)
-            msg += f"; {steady:.2f} img/s steady-state, batch={args.batch}"
+            msg += (f"; {steady:.2f} img/s steady-state incl. writes, "
+                    f"batch={args.batch}")
         print(msg + "); masks under " + args.output_dir)
         for k, vals in ious.items():
             if vals:
@@ -300,14 +388,16 @@ def main():
         n_done += 1
         if steady_start is None:
             steady_start = time.time()  # first image paid the compile
-        emit(name, out)
+        dispatch_emit(name, out)
 
+    if writer:
+        writer.close()
     wall = time.time() - start
     msg = (f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "
            "first compile")
     if n_done > 1 and steady_start is not None:
         steady = (n_done - 1) / max(time.time() - steady_start, 1e-9)
-        msg += f"; {steady:.2f} img/s steady-state"
+        msg += f"; {steady:.2f} img/s steady-state incl. writes"
     print(msg + "); masks under " + args.output_dir)
     for k, vals in ious.items():
         if vals:

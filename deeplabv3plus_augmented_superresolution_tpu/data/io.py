@@ -44,8 +44,14 @@ def load_image(img_path: str, image_size: Optional[Tuple[int, int]] = None,
     return arr
 
 
-def save_img(path: str, x, scale: bool = True) -> None:
-    """tf.keras.utils.save_img-compatible PNG writer."""
+def save_img(path: str, x, scale: bool = True,
+             compress_level: int = 6) -> None:
+    """tf.keras.utils.save_img-compatible PNG writer.
+
+    compress_level: zlib level (PIL default 6). Label masks are almost-
+    constant images; level 1 encodes ~3x faster for ~2x the (tiny) file —
+    the serving path's writer pool uses it.
+    """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim == 2:
         x = x[..., None]
@@ -61,7 +67,7 @@ def save_img(path: str, x, scale: bool = True) -> None:
     else:
         img = Image.fromarray(x)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    img.save(path)
+    img.save(path, compress_level=compress_level)
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,13 @@ def _decimating_shear(images: jnp.ndarray, s: jnp.ndarray, span: int,
     from .shear_warp import shear_rows_dispatch
 
     n, h, w = images.shape
-    s = jnp.clip(s, -_PAD + 1, _PAD - span - 8)
+    # Clip to the dispatch path's |shift| budget, same as shear_warp._shear_rows.
+    # `span` only bounds per-copy row-to-row VARIATION (it sizes the static tap
+    # windows), not shift magnitude — clipping by `_PAD - span - ...` wrongly
+    # clamped every positive pass-B shift at angle_max >= ~0.35 (span_b ~ 170+),
+    # corrupting the production forward operator. See tests/test_fused_operator.py
+    # test_fused_matches_staged_at_production_extremes.
+    s = jnp.clip(s, -_PAD + 1, _PAD - 2)
     shifted = shear_rows_dispatch(images, s, span, n_cand)
     dmat = resize_matrix(out_size, w, "bilinear")
     # HIGHEST keeps the f32 MXU path: the decimation is part of the solve

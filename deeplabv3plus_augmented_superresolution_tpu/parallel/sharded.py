@@ -53,7 +53,9 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                       class_id: int, mode: str = "argmax",
                       th_factor: float = 0.15,
                       sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
-                      chunk_size: int = 0, gram_coeffs=None):
+                      chunk_size: int = 0, gram_coeffs=None,
+                      return_targets: bool = False,
+                      pack_uint8: bool = False):
     """Returns a jitted fn(params, images, angles, shifts) -> dict of masks.
 
     images: (B, H, W, 3) sharded on "data";
@@ -77,9 +79,18 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
         def per_image(image, a, s):
             return asr_step(params, image, a, s, model_cfg, sr_cfg, class_id,
                             mode, th_factor, True, sr_types, chunk_size,
-                            gram_coeffs=gram_coeffs)
+                            gram_coeffs=gram_coeffs,
+                            return_targets=return_targets)
 
-        return jax.vmap(per_image)(images, angles, shifts)
+        out = jax.vmap(per_image)(images, angles, shifts)
+        if pack_uint8:
+            # Mask outputs hold {0, class_id}: a device-side uint8 cast is
+            # lossless and quarters the device->host transfer the serving
+            # path's writer pool pays per batch (continuous _target outputs
+            # stay float).
+            out = {k: (v if k.endswith("_target") else v.astype(jnp.uint8))
+                   for k, v in out.items()}
+        return out
 
     in_shardings = (
         NamedSharding(mesh, P()),                     # params replicated

@@ -39,7 +39,7 @@ _SR_FNS = {
 
 @partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_id", "mode",
                                    "th_factor", "global_normalize", "sr_types",
-                                   "chunk_size"))
+                                   "chunk_size", "return_targets"))
 def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
              shifts: jnp.ndarray, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
              class_id: int, mode: str = "argmax", th_factor: float = 0.15,
@@ -47,14 +47,19 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
              sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
              chunk_size: int = 0,
              dropout_key: Optional[jax.Array] = None,
-             gram_coeffs: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+             gram_coeffs: Optional[jnp.ndarray] = None,
+             return_targets: bool = False) -> Dict[str, jnp.ndarray]:
     """Full ASR for one image. Returns thresholded HR masks per SR type plus
     the 'standard' baseline mask, all (H, W, 1) float32 with values
     {0, class_id}.
 
     gram_coeffs: optional precomputed Gram stencil (sr.precompute_gram_stencil)
     for serving with a fixed augmentation set — hoists the probe extraction
-    out of the per-image program."""
+    out of the per-image program.
+
+    return_targets: also return the pre-threshold continuous SR targets under
+    '<type>_target' keys — numeric regression tests compare these (a mask-only
+    comparison can hide real numeric drift behind threshold margins)."""
     num_aug = sr_cfg.num_aug
     # Warp the copies in the model's compute dtype: the forward casts its
     # input to bf16 at entry anyway, so a bf16 warp loses nothing downstream
@@ -103,6 +108,8 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
         else:
             th = threshold_image(target_class, class_id, th_factor=th_factor)
         results[sr_type] = th.astype(jnp.float32)
+        if return_targets:
+            results[sr_type + "_target"] = target_class.astype(jnp.float32)
 
     # Standard baseline from the identity copy's logits (copy 0).
     hr_logits = resize(preds[0], model_cfg.input_shape[:2], method="bilinear")

@@ -50,6 +50,30 @@ def test_fused_matches_staged_shear_composition():
     assert err[c].mean() < 0.01, err[c].mean()
 
 
+def test_fused_matches_staged_at_production_extremes():
+    """Regression for the pass-B shift clip bug: at 512 px / angle_max 0.5 /
+    shifts +-80 the composed pass-B offsets reach ~+170 px; the old clip
+    (`_PAD - span - 8`, with span_b=249) clamped every positive shift to -1,
+    silently corrupting the production forward operator for copies with large
+    positive angles. Covers large POSITIVE and negative angle/shift copies."""
+    img = _smooth(512, 4)
+    angles = np.asarray([0.0, 0.45, -0.45, 0.49, 0.30, -0.30], np.float32)
+    shifts = np.asarray([[0, 0], [78, 75], [-78, -75], [80, -80],
+                         [-60, 70], [55, -65]], np.float32)
+
+    fused = np.asarray(fused_warp_downsample(
+        jnp.asarray(img), jnp.asarray(angles), jnp.asarray(shifts),
+        (128, 128), 0.5))
+    big = jnp.broadcast_to(jnp.asarray(img), (6, 512, 512, 1))
+    staged = np.asarray(resize(paeth_rotate_translate(
+        big, jnp.asarray(angles), jnp.asarray(shifts), 0.5), (128, 128)))
+    err = np.abs(fused - staged)
+    # interior decimated coords; edges differ by fill handling
+    c = (slice(None), slice(16, 112), slice(16, 112), slice(None))
+    assert err[c].max() < 0.06, err[c].max()
+    assert err[c].mean() < 0.01, err[c].mean()
+
+
 def test_fused_identity_copy_matches_plain_resize():
     img = _smooth(128, 2)
     fused = np.asarray(fused_warp_downsample(

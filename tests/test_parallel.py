@@ -126,13 +126,21 @@ def test_uneven_aug_shards_at_production_copy_count(small_setup, mesh_shape):
 
     mesh = make_mesh(shape=mesh_shape)
     fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8,
-                           sr_types=("aug", "mean"))
+                           sr_types=("aug", "mean"), return_targets=True)
     out = fn(*shard_batch(mesh, params, images, angles, shifts))
 
     single = asr_step(params, images[0], angles[0], shifts[0], cfg, sr_cfg,
                       class_id=8, mode="argmax", th_factor=0.15,
-                      sr_types=("aug", "mean"))
+                      sr_types=("aug", "mean"), return_targets=True)
     for k in single:
+        if k.endswith("_target"):
+            # Pre-threshold SR targets must agree numerically (loose atol for
+            # f32 reassociation across the shards) — catches systematic
+            # operator drift the mask-level bound below would hide.
+            np.testing.assert_allclose(
+                np.asarray(out[k][0]), np.asarray(single[k]), atol=2e-2,
+                err_msg=f"{k} @ mesh {mesh_shape}")
+            continue
         # Padded-aug sharded solve vs unsharded solve: identical in exact
         # arithmetic, but f32 reassociation can flip isolated threshold-
         # marginal pixels of the binarized masks — compare at mask level.
@@ -166,16 +174,19 @@ def test_sharded_batch_with_precomputed_stencil(small_setup):
 
     coeffs = precompute_gram_stencil(a, s, padded_sr_cfg(sr_cfg, mesh))
     fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8, sr_types=("aug",),
-                           gram_coeffs=coeffs)
+                           gram_coeffs=coeffs, return_targets=True)
     out = fn(*shard_batch(mesh, params, images, angles, shifts))
 
     fn_inline = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=8,
-                                  sr_types=("aug",))
+                                  sr_types=("aug",), return_targets=True)
     want = fn_inline(*shard_batch(mesh, params, images, angles, shifts))
     # The stencils agree to ~1e-5 (f32 reassociation differs between the
     # sharded inline extraction and the standalone precompute), which can
     # flip a handful of threshold-marginal pixels after the Adam solve —
-    # require mask-level agreement, not bitwise equality.
+    # require mask-level agreement plus a loose numeric bound on the
+    # pre-threshold targets (so systematic drift can't hide in the margin).
+    np.testing.assert_allclose(np.asarray(out["aug_target"]),
+                               np.asarray(want["aug_target"]), atol=2e-2)
     disagree = np.mean(np.asarray(out["aug"]) != np.asarray(want["aug"]))
     assert disagree < 0.005, f"mask disagreement {disagree:.4f}"
 
