@@ -72,6 +72,10 @@ def main():
     # reference-behavior row reflects per-image dispatch like the reference's
     # one-program-per-image loop; serving mode defaults to 4 (run_asr --batch).
     batch = max(int(os.environ.get("BENCH_BATCH", 1 if strict else 4)), 1)
+    # BENCH_CHUNK: run the model forward in copy chunks (lax.map) to cut the
+    # vmapped activation peak — batch=8 compiles at chunk 25 (temp 10.3G vs
+    # the unchunked 26.3G compile-OOM) and benches at parity with batch=4.
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))
     # Stochastic copy-minibatching (25/100 copies per solver iteration):
     # quality-equivalent on the synthetic-recovery suite (tests/test_solver)
     # and endorsed by the reference's own copy_dropout sweeps; set 0 for the
@@ -133,7 +137,7 @@ def main():
     def run(a, s):
         out = asr_step(params, image, a, s, model_cfg, sr_cfg,
                        class_id=8, mode="argmax", th_factor=0.2,
-                       gram_coeffs=gram_coeffs)
+                       chunk_size=chunk, gram_coeffs=gram_coeffs)
         # One combined device->host sync (block_until_ready can be a no-op
         # through the axon tunnel; each separate fetch costs ~30ms).
         return float(sum(jnp.sum(v) for v in out.values()))
@@ -206,7 +210,7 @@ def main():
         strict_fn = jax.jit(jax.vmap(
             lambda im, a, s: asr_step(params, im, a, s, model_cfg, sr_cfg,
                                       class_id=8, mode="argmax",
-                                      th_factor=0.2)))
+                                      th_factor=0.2, chunk_size=chunk)))
 
         def run_strict(a, s):
             out = strict_fn(images, a, s)
@@ -227,7 +231,7 @@ def main():
         batch_fn = jax.jit(jax.vmap(
             lambda im: asr_step(params, im, angles, shifts, model_cfg, sr_cfg,
                                 class_id=8, mode="argmax", th_factor=0.2,
-                                gram_coeffs=gram_coeffs)))
+                                chunk_size=chunk, gram_coeffs=gram_coeffs)))
 
         def run_batch():
             out = batch_fn(images)

@@ -48,6 +48,10 @@ parser.add_argument("--batch", type=int, default=0,
                          "batch shards over ('data','aug')")
 parser.add_argument("--weights_path", type=str, default=None)
 parser.add_argument("--limit", type=int, default=None)
+parser.add_argument("--chunk_size", type=int, default=0,
+                    help="run the model forward in copy chunks to cut the "
+                         "activation peak (batch 8 needs chunk 25 on one "
+                         "v5e chip; 0 = single forward)")
 parser.add_argument("--writer_threads", type=int, default=4,
                     help="artifact-writer pool size (device->host mask fetch "
                          "+ PNG encode + IoU scoring overlapped with device "
@@ -175,7 +179,7 @@ def main():
         out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
                        class_id=args.class_id, mode=args.mode,
                        th_factor=args.th_factor, sr_types=sr_types,
-                       gram_coeffs=gram_coeffs)
+                       chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
         # packed device array; the writer fetches it overlapped with the
         # next image's dispatch.
         return pack_out(out)
@@ -207,13 +211,17 @@ def main():
         )
 
         if native_loader.available() and all(p.endswith(".jpg") for p in paths):
-            ring = native_loader.ImageRing(paths, IMG_SIZE, normalize=True,
-                                           n_threads=min(4, args.prefetch),
-                                           capacity=max(2, args.prefetch))
+            # The ring delivers frames already in the model's compute dtype
+            # (bf16 rounded in C++), so the consume path does no float math.
+            ring = native_loader.ImageRing(
+                paths, IMG_SIZE, normalize=True,
+                n_threads=min(4, args.prefetch),
+                capacity=max(2, args.prefetch),
+                dtype=("bfloat16" if model_cfg.compute_dtype == "bfloat16"
+                       else "float32"))
             try:
                 for i, image in ring:
                     name = os.path.splitext(os.path.basename(paths[i]))[0]
-                    image = np.asarray(image).astype(host_dtype)
                     if shared:
                         yield name, image, angles_s, shifts_s
                     else:
@@ -257,47 +265,87 @@ def main():
         )
 
         n_dev = len(jax.devices())
-        # The "data" axis must divide BOTH the device count (mesh factoring)
-        # and the batch size (GSPMD shards the leading image dim evenly).
-        data_ax = min(args.batch, n_dev)
-        while n_dev % data_ax or args.batch % data_ax:
-            data_ax -= 1
-        mesh = make_mesh(shape=(data_ax, n_dev // data_ax))
-        batch_fn = make_asr_batch_fn(mesh, model_cfg, sr_cfg,
-                                     class_id=args.class_id, mode=args.mode,
-                                     th_factor=args.th_factor,
-                                     sr_types=sr_types,
-                                     gram_coeffs=gram_coeffs,
-                                     pack_uint8=True)
+        if n_dev == 1:
+            # Single-device fast path: the GSPMD-partitioned mesh program
+            # measures 0.926 s/batch vs 0.756 for a plain jit(vmap) of the
+            # SAME computation on one v5e chip (22% partitioner overhead) —
+            # the mesh buys nothing without a second device. vmap + uint8
+            # pack fuse into ONE program: one dispatch, one fetched array.
+            @jax.jit
+            def single_fn(p, im):
+                out = jax.vmap(lambda i_: asr_step(
+                    p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
+                    class_id=args.class_id, mode=args.mode,
+                    th_factor=args.th_factor, sr_types=sr_types,
+                    chunk_size=args.chunk_size,
+                    gram_coeffs=gram_coeffs))(im)
+                return jnp.stack([out[k].astype(jnp.uint8)
+                                  for k in out_keys])
+        else:
+            single_fn = None
+            # The "data" axis must divide BOTH the device count (mesh
+            # factoring) and the batch size (GSPMD shards the leading image
+            # dim evenly).
+            data_ax = min(args.batch, n_dev)
+            while n_dev % data_ax or args.batch % data_ax:
+                data_ax -= 1
+            mesh = make_mesh(shape=(data_ax, n_dev // data_ax))
+            batch_fn = make_asr_batch_fn(mesh, model_cfg, sr_cfg,
+                                         class_id=args.class_id,
+                                         mode=args.mode,
+                                         th_factor=args.th_factor,
+                                         sr_types=sr_types,
+                                         chunk_size=args.chunk_size,
+                                         gram_coeffs=gram_coeffs,
+                                         pack_uint8=True)
 
-        # Model params and the (fixed) augmentation arrays are sharded ONCE,
+        # Model params and the (fixed) augmentation arrays are placed ONCE,
         # not re-broadcast per batch; the cache is dropped on a device
         # failure so device_resilient retries re-place them.
         _shard_cache = {}
 
         def _sharded_consts():
             if not _shard_cache:
-                a_c = np.broadcast_to(np.asarray(angles_s),
-                                      (args.batch,) + angles_s.shape)
-                s_c = np.broadcast_to(np.asarray(shifts_s),
-                                      (args.batch,) + shifts_s.shape)
-                dummy = np.zeros((args.batch,) + IMG_SIZE + (3,), host_dtype)
-                p, im, a, s = shard_batch(mesh, params, dummy, a_c, s_c)
-                _shard_cache.update(params=p, angles=a, shifts=s,
-                                    im_sharding=im.sharding)
+                if single_fn is not None:
+                    _shard_cache.update(params=jax.device_put(params),
+                                        im_sharding=None)
+                else:
+                    a_c = np.broadcast_to(np.asarray(angles_s),
+                                          (args.batch,) + angles_s.shape)
+                    s_c = np.broadcast_to(np.asarray(shifts_s),
+                                          (args.batch,) + shifts_s.shape)
+                    dummy = np.zeros((args.batch,) + IMG_SIZE + (3,),
+                                     host_dtype)
+                    p, im, a, s = shard_batch(mesh, params, dummy, a_c, s_c)
+                    _shard_cache.update(params=p, angles=a, shifts=s,
+                                        im_sharding=im.sharding)
             return _shard_cache
 
+        def _put(images, c):
+            if c["im_sharding"] is None:
+                return jax.device_put(images)
+            return jax.device_put(images, c["im_sharding"])
+
         @device_resilient(max_retries=2)
-        def run_batch(images):
+        def run_batch(host_images, dev_holder):
+            """dev_holder: 1-item list with the pre-staged device array; it is
+            dropped on failure so a device_resilient retry re-uploads from the
+            host copy."""
             try:
                 c = _sharded_consts()
-                im = jax.device_put(images, c["im_sharding"])
+                im = dev_holder[0]
+                if im is None:  # retry after a device failure
+                    im = _put(host_images, c)
+                    dev_holder[0] = im
+                if single_fn is not None:
+                    return single_fn(c["params"], im)
                 out = batch_fn(c["params"], im, c["angles"], c["shifts"])
                 # One packed device array; the writer fetches it (one tunnel
                 # roundtrip) while the next batch's program runs.
                 return pack_out(out)
             except Exception:
                 _shard_cache.clear()
+                dev_holder[0] = None
                 raise
 
         def batched_inputs():
@@ -313,6 +361,31 @@ def main():
                 while len(imgs) < args.batch:
                     imgs.append(imgs[-1])
                 yield names[:n_real], np.stack(imgs)
+
+        def staged_batches():
+            """Decode+stack (producer thread) -> host->device transfer
+            (staging thread, lookahead 2) -> consume loop. Keeps the ~100 ms
+            tunnel upload per batch off the dispatch thread; the host copy
+            rides along for the device-failure retry path."""
+            import queue
+            import threading
+
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+
+            def stage():
+                try:
+                    c = _sharded_consts()
+                    for names, images in batched_inputs():
+                        q.put((names, images, _put(images, c)))
+                    q.put(None)
+                except BaseException as exc:
+                    q.put(exc)
+
+            threading.Thread(target=stage, daemon=True).start()
+            while (item := q.get()) is not None:
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
 
     os.makedirs(args.output_dir, exist_ok=True)
     ious = {k: [] for k in sr_types + ("standard",)}
@@ -359,9 +432,9 @@ def main():
             emit_packed(names, packed)
 
     if args.batch > 1:
-        for names, images in tqdm(batched_inputs(),
-                                  total=-(-len(paths) // args.batch)):
-            out = run_batch(images)
+        for names, images, dev_images in tqdm(
+                staged_batches(), total=-(-len(paths) // args.batch)):
+            out = run_batch(images, [dev_images])
             if steady_start is None:
                 steady_start = time.time()
             else:

@@ -242,11 +242,11 @@ class Harness:
             img, gt = self._load_pair(p)
             out = self._asr_masks(img, class_id, mode, th_grid[0],
                                   seed=SEED + i, return_targets=True)
-            target = out["aug_target"]
+            # one solve, many thresholds (reference threshold_tests.py:104)
+            target = jnp.asarray(out["aug_target"])
             for t in th_grid:
-                mask = np.asarray(jax.jit(threshold_image,
-                                          static_argnums=(1,))(
-                    jnp.asarray(target), class_id, th_factor=t))
+                mask = np.asarray(threshold_image(target, class_id,
+                                                  th_factor=t))
                 per_th[t].append(compute_iou(gt, mask, class_id=class_id))
 
         out_csv = os.path.join(self.out_dir, f"th_{mode}_{len(paths)}.csv")

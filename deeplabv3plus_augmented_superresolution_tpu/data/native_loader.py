@@ -62,6 +62,9 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.asr_ring_create2.restype = ctypes.c_void_p
+        lib.asr_ring_create2.argtypes = lib.asr_ring_create.argtypes + [
+            ctypes.c_int]
         lib.asr_ring_next.restype = ctypes.c_int
         lib.asr_ring_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -107,7 +110,11 @@ class ImageRing:
 
     def __init__(self, paths: Sequence[str], image_size: Tuple[int, int],
                  normalize: bool = True, is_label: bool = False,
-                 n_threads: int = 4, capacity: int = 8):
+                 n_threads: int = 4, capacity: int = 8,
+                 dtype: str = "float32"):
+        """dtype="bfloat16" delivers frames already rounded to bf16 in C++
+        (round-to-nearest-even, matching XLA's convert): no numpy-side cast,
+        half the host->device bytes — the serving path's input format."""
         lib = _get_lib()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -115,16 +122,25 @@ class ImageRing:
         self._paths = [os.fsencode(p) for p in paths]
         self._n = len(self._paths)
         self._shape = (image_size[0], image_size[1], 1 if is_label else 3)
+        if dtype == "bfloat16":
+            import ml_dtypes
+
+            self._dtype = np.dtype(ml_dtypes.bfloat16)
+        elif dtype == "float32":
+            self._dtype = np.dtype(np.float32)
+        else:
+            raise ValueError(f"unsupported ring dtype {dtype!r}")
         arr = (ctypes.c_char_p * self._n)(*self._paths)
         self._keepalive = arr
-        self._handle = lib.asr_ring_create(
+        self._handle = lib.asr_ring_create2(
             arr, self._n, image_size[0], image_size[1], int(is_label),
-            int(normalize), int(n_threads), int(capacity))
+            int(normalize), int(n_threads), int(capacity),
+            int(dtype == "bfloat16"))
 
     def __iter__(self):
         idx = ctypes.c_int(0)
         for _ in range(self._n):
-            out = np.empty(self._shape, np.float32)
+            out = np.empty(self._shape, self._dtype)
             rc = self._lib.asr_ring_next(
                 self._handle,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

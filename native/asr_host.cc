@@ -218,6 +218,17 @@ bool load_one(const std::string& path, int out_h, int out_w, bool is_label,
   return true;
 }
 
+// f32 -> bf16 with round-to-nearest-even (matches XLA's convert). Frames
+// delivered as bf16 halve the host->device transfer and skip the (slow)
+// numpy-side ml_dtypes cast — the serving model consumes bf16 at entry
+// anyway (pipeline/end_to_end.py), so nothing downstream changes.
+inline unsigned short f32_to_bf16(float f) {
+  unsigned int x;
+  std::memcpy(&x, &f, 4);
+  const unsigned int rounding = 0x7FFFu + ((x >> 16) & 1u);
+  return static_cast<unsigned short>((x + rounding) >> 16);
+}
+
 // ---------------------------------------------------------------------------
 // in-order staging ring
 // ---------------------------------------------------------------------------
@@ -225,10 +236,11 @@ bool load_one(const std::string& path, int out_h, int out_w, bool is_label,
 struct Ring {
   std::vector<std::string> paths;
   int out_h, out_w, channels;
-  bool is_label, normalize;
+  bool is_label, normalize, bf16 = false;
   size_t frame_elems;
+  size_t frame_bytes;
 
-  std::vector<std::vector<float>> slots;
+  std::vector<std::vector<unsigned char>> slots;
   std::vector<int> slot_state;  // 0 free, 1 ready, -1 failed
   std::mutex mu;
   std::condition_variable cv_ready, cv_free;
@@ -248,11 +260,20 @@ struct Ring {
 
   void worker() {
     std::vector<float> tmp(frame_elems);
+    std::vector<unsigned char> frame(frame_bytes);
     for (;;) {
       const size_t idx = next_to_claim.fetch_add(1);
       if (idx >= paths.size()) return;
       const bool ok = load_one(paths[idx], out_h, out_w, is_label, normalize,
                                tmp.data());
+      if (ok) {
+        if (bf16) {
+          auto* dst = reinterpret_cast<unsigned short*>(frame.data());
+          for (size_t i = 0; i < frame_elems; ++i) dst[i] = f32_to_bf16(tmp[i]);
+        } else {
+          std::memcpy(frame.data(), tmp.data(), frame_bytes);
+        }
+      }
       const size_t slot = idx % slots.size();
       std::unique_lock<std::mutex> lock(mu);
       // In-order delivery: this slot may only be written once its previous
@@ -268,22 +289,21 @@ struct Ring {
                (idx < next_to_consume + slots.size() && slot_state[slot] == 0);
       });
       if (stopping) return;
-      if (ok) slots[slot].swap(tmp);
+      if (ok) slots[slot].swap(frame);
       slot_state[slot] = ok ? 1 : -1;
       cv_ready.notify_all();
-      if (ok) tmp.resize(frame_elems);
+      if (ok) frame.resize(frame_bytes);
     }
   }
 
-  int next(float* out, int* index) {
+  int next(unsigned char* out, int* index) {
     std::unique_lock<std::mutex> lock(mu);
     if (next_to_consume >= paths.size()) return 0;
     const size_t idx = next_to_consume;  // advanced only after the copy-out
     const size_t slot = idx % slots.size();
     cv_ready.wait(lock, [&] { return slot_state[slot] != 0; });
     const int state = slot_state[slot];
-    if (state == 1)
-      std::memcpy(out, slots[slot].data(), frame_elems * sizeof(float));
+    if (state == 1) std::memcpy(out, slots[slot].data(), frame_bytes);
     slot_state[slot] = 0;
     next_to_consume = idx + 1;
     *index = int(idx);
@@ -302,29 +322,48 @@ int asr_load_image(const char* path, int out_h, int out_w, int is_label,
                                                                           : -1;
 }
 
-void* asr_ring_create(const char* const* paths, int n, int out_h, int out_w,
-                      int is_label, int normalize, int n_threads,
-                      int capacity) {
+static void* ring_create_impl(const char* const* paths, int n, int out_h,
+                              int out_w, int is_label, int normalize,
+                              int n_threads, int capacity, int bf16) {
   auto* r = new Ring();
   r->paths.assign(paths, paths + n);
   r->out_h = out_h;
   r->out_w = out_w;
   r->is_label = is_label != 0;
   r->normalize = normalize != 0;
+  r->bf16 = bf16 != 0;
   r->channels = r->is_label ? 1 : 3;
   r->frame_elems = size_t(out_h) * out_w * r->channels;
+  r->frame_bytes = r->frame_elems * (r->bf16 ? 2 : sizeof(float));
   if (capacity < 2) capacity = 2;
   if (n_threads < 1) n_threads = 1;
   r->slots.resize(capacity);
-  for (auto& s : r->slots) s.resize(r->frame_elems);
+  for (auto& s : r->slots) s.resize(r->frame_bytes);
   r->slot_state.assign(capacity, 0);
   for (int i = 0; i < n_threads; ++i)
     r->workers.emplace_back(&Ring::worker, r);
   return r;
 }
 
+void* asr_ring_create(const char* const* paths, int n, int out_h, int out_w,
+                      int is_label, int normalize, int n_threads,
+                      int capacity) {
+  return ring_create_impl(paths, n, out_h, out_w, is_label, normalize,
+                          n_threads, capacity, /*bf16=*/0);
+}
+
+// v2: bf16 frame delivery (see f32_to_bf16). asr_ring_next is shared; the
+// out buffer's element type follows the creation flag.
+void* asr_ring_create2(const char* const* paths, int n, int out_h, int out_w,
+                       int is_label, int normalize, int n_threads,
+                       int capacity, int bf16) {
+  return ring_create_impl(paths, n, out_h, out_w, is_label, normalize,
+                          n_threads, capacity, bf16);
+}
+
 int asr_ring_next(void* ring, float* out, int* index) {
-  return static_cast<Ring*>(ring)->next(out, index);
+  return static_cast<Ring*>(ring)->next(
+      reinterpret_cast<unsigned char*>(out), index);
 }
 
 void asr_ring_destroy(void* ring) { delete static_cast<Ring*>(ring); }

@@ -147,3 +147,19 @@ def test_cli_test_sr_smoke(fake_voc):
     assert os.path.exists(os.path.join(
         fake_voc, "test_images", "SR_output", "aug_SR",
         "2007_000001_aug_SR.png"))
+
+
+def test_validate_parity_smoke(fake_voc):
+    """The quality-parity harness runs end-to-end in --smoke mode: every
+    workload executes on the bundled fixture with random weights, the CSVs
+    land in the reference schemas, and the PASS/FAIL table renders."""
+    out = _run(fake_voc, "validate_parity.py", "--smoke",
+               "--output_dir", str(fake_voc / "parity_out"))
+    assert "OVERALL: PASS" in out
+    produced = os.listdir(fake_voc / "parity_out")
+    assert "argmax_validation_final.csv" in produced
+    assert any(p.startswith("th_argmax_") for p in produced)
+    assert any(p.startswith("robustness_") for p in produced)
+    # table covers all three workloads
+    for row in ("aug_iou_single", "best_iou", "identity_miou"):
+        assert row in out

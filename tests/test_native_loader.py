@@ -103,3 +103,24 @@ def test_ring_ordering_under_contention(tmp_path):
             assert got == n
         finally:
             ring.close()
+
+
+@pytest.mark.skipif(
+    not native_loader.available(),
+    reason=f"native loader unavailable: {native_loader.build_error()}")
+def test_ring_bf16_matches_numpy_rounding():
+    """dtype="bfloat16" frames equal the float ring's output rounded to bf16
+    with round-to-nearest-even (XLA convert semantics) — the serving path
+    feeds these straight to the device."""
+    import ml_dtypes
+
+    ring = native_loader.ImageRing([JPG], (128, 128), dtype="float32")
+    _, f32 = next(iter(ring))
+    ring.close()
+    ring = native_loader.ImageRing([JPG], (128, 128), dtype="bfloat16")
+    _, bf = next(iter(ring))
+    ring.close()
+    assert bf.dtype == ml_dtypes.bfloat16
+    want = f32.astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(np.asarray(want).view(np.uint16),
+                                  np.asarray(bf).view(np.uint16))
