@@ -56,6 +56,10 @@ parser.add_argument("--writer_threads", type=int, default=4,
                     help="artifact-writer pool size (device->host mask fetch "
                          "+ PNG encode + IoU scoring overlapped with device "
                          "compute; 0 = synchronous writes)")
+parser.add_argument("--profile_dir", type=str, default=None,
+                    help="write an XLA profiler trace of the steady-state "
+                         "loop here (open with TensorBoard's profile plugin "
+                         "or Perfetto)")
 add_sr_args(parser)
 
 
@@ -394,6 +398,19 @@ def main():
     n_done = 0
     writer = ArtifactWriter(args.writer_threads) if args.writer_threads else None
 
+    _profiling = [False]
+
+    def profile_steady(on):
+        """Trace the steady-state loop only (the first dispatch pays the XLA
+        compile, which would dwarf the trace)."""
+        if args.profile_dir and on and not _profiling[0]:
+            jax.profiler.start_trace(args.profile_dir)
+            _profiling[0] = True
+        elif _profiling[0] and not on:
+            jax.profiler.stop_trace()
+            _profiling[0] = False
+            print(f"profiler trace written to {args.profile_dir}")
+
     def emit(name, out_masks):
         """Encode + score host-side masks — runs on the writer pool."""
         for k, mask in out_masks.items():
@@ -437,12 +454,14 @@ def main():
             out = run_batch(images, [dev_images])
             if steady_start is None:
                 steady_start = time.time()
+                profile_steady(True)
             else:
                 n_done += len(names)  # steady-state counts post-compile work
             dispatch_emit(names, out if len(names) == args.batch
                           else out[:, :len(names)])
         if writer:
             writer.close()  # drain: steady-state includes artifact writes
+        profile_steady(False)
         n_total = len(paths)
         wall = time.time() - start
         msg = f"{n_total} images in {wall:.1f}s ({n_total / wall:.2f} img/s incl. first compile"
@@ -461,10 +480,12 @@ def main():
         n_done += 1
         if steady_start is None:
             steady_start = time.time()  # first image paid the compile
+            profile_steady(True)
         dispatch_emit(name, out)
 
     if writer:
         writer.close()
+    profile_steady(False)
     wall = time.time() - start
     msg = (f"{n_done} images in {wall:.1f}s ({n_done / wall:.2f} img/s incl. "
            "first compile")

@@ -3,7 +3,8 @@
 The reference's quality bar is its committed experiment CSVs (SURVEY.md §6):
 per-class final validations (argmax 0.6841 aug vs 0.6751 standard,
 final_validations/argmax_validation_final.csv), the class-8 threshold sweeps
-(threshold_data/th_*_500.csv) and the robustness grid
+(threshold_data/th_*_500.csv), the best class-8 sweep run (aug-with-bg 0.8780
+vs standard 0.8724, sweep_data/argmax_no_norm_l1.csv) and the robustness grid
 (robustness_data/robustness_350_class_all.csv). This harness reruns those
 workloads end-to-end on the fused TPU pipeline and diffs the aggregates
 against the extracted baselines in configs/reference_baselines.json with
@@ -11,7 +12,7 @@ stated tolerances, printing a PASS/FAIL table — so the day a pretrained
 checkpoint lands at data/model_weights/, quality parity is ONE command:
 
     python cli/validate_parity.py --weights_path <bonlime .h5> \
-        --workloads validation,threshold,robustness
+        --workloads validation,threshold,sweep,robustness
 
 instead of hand-composing generate_augmented_copies / generate_standard_output
 / SR_single_class / threshold_tests / check_robustness and eyeballing averages
@@ -50,7 +51,7 @@ parser.add_argument("--modes", type=str, default="argmax",
                     help="comma list of OPMs for the validation workload "
                          "(argmax,slice,slice_max)")
 parser.add_argument("--workloads", type=str,
-                    default="validation,threshold,robustness")
+                    default="validation,threshold,sweep,robustness")
 parser.add_argument("--classes", type=str, default="",
                     help="comma list of class ids for validation "
                          "(default 1..20, the reference's per-class runs)")
@@ -135,7 +136,7 @@ class Harness:
     # -- workloads ------------------------------------------------------------
 
     def _asr_masks(self, image, class_id, mode, th_factor, seed,
-                   return_targets=False):
+                   return_targets=False, sr_overrides=None):
         """Full fused pipeline for one image with a fresh per-image TTA set
         (reference per-image redraw semantics)."""
         import jax
@@ -154,7 +155,8 @@ class Harness:
             feature_size=tuple(d // (8 if self.model_cfg.backbone == "mobilenet"
                                      else 4) for d in self.img_size),
             output_size=self.img_size, num_iter=a.num_iter,
-            angle_max=max(a.angle_max_gen + 0.05, 1e-3))
+            angle_max=max(a.angle_max_gen + 0.05, 1e-3),
+            **(sr_overrides or {}))
         out = asr_step(self.params, jnp.asarray(image), angles, shifts,
                        self.model_cfg, sr_cfg, class_id=class_id, mode=mode,
                        th_factor=th_factor, return_targets=return_targets)
@@ -264,6 +266,63 @@ class Harness:
         self._compare(f"threshold/{mode}", "best_iou", means[best_t],
                       ref and ref["best_iou"], tol, one_sided=True,
                       note=f"@ th={best_t} (ref @ {ref['best_th_factor'] if ref else '?'})")
+
+    def run_sweep(self):
+        """The reference's best argmax class-8 sweep run (wandb row
+        neat-sweep-42 of sweep_data/argmax_no_norm_l1.csv): rerun its exact
+        hyperparameter configuration over the same 500-image class-8 subset
+        and compare all six IoU aggregates. The reference produced this row
+        via sweep_script.py's evaluation loop (sweep_script.py:51-176)."""
+        import numpy as np
+
+        from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+            compute_iou,
+        )
+
+        a = self.args
+        ref = self.baselines["sweep"]["argmax_class8"]
+        cfg = ref["config"]
+        class_id = cfg["class_id"]
+        n = 1 if a.smoke else cfg["num_samples"]
+        overrides = {k: cfg[k] for k in
+                     ("lambda_tv", "lambda_L2", "lambda_L1", "learning_rate",
+                      "decay_steps", "decay_rate")}
+        if not a.smoke:
+            overrides["num_iter"] = cfg["num_iter"]
+        paths = self._val_paths(class_id, n)
+        th = _th_default("argmax")
+        cols = ["aug_iou_single", "standard_iou_single", "aug_iou_multiple",
+                "standard_iou_multiple", "max_iou", "mean_iou"]
+        agg = {c: [] for c in cols}
+        for i, p in enumerate(paths):
+            img, gt = self._load_pair(p)
+            out = self._asr_masks(img, class_id, "argmax", th, seed=SEED + i,
+                                  sr_overrides=overrides)
+            masks = {k: np.asarray(v) for k, v in out.items()}
+            for c in cols:
+                kind = c.split("_")[0]
+                key = {"aug": "aug", "standard": "standard",
+                       "max": "max", "mean": "mean"}[kind]
+                agg[c].append(compute_iou(gt, masks[key], class_id=class_id,
+                                          include_bg=c.endswith("multiple")))
+
+        row = {"Name": "best_argmax_sweep", **{k: cfg[k] for k in
+               ("lambda_tv", "lambda_L2", "lambda_L1", "learning_rate",
+                "num_iter", "num_aug")}}
+        row.update({c: float(np.nanmean(agg[c])) if agg[c] else float("nan")
+                    for c in cols})
+        out_csv = os.path.join(self.out_dir, "sweep_best_argmax.csv")
+        with open(out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            w.writeheader()
+            w.writerow(row)
+        print(f"[sweep] wrote {out_csv} ({len(paths)} imgs)")
+
+        tol = self.baselines["tolerances"]["sweep_iou"]
+        for c in cols:
+            self._compare("sweep/argmax_class8", c, row[c],
+                          ref["aggregate_mean"].get(c), tol,
+                          one_sided=not c.startswith("standard"))
 
     def run_robustness(self):
         import random as _random
@@ -452,6 +511,8 @@ def main():
                 h.run_validation(mode.strip())
         elif wl == "threshold":
             h.run_threshold()
+        elif wl == "sweep":
+            h.run_sweep()
         elif wl == "robustness":
             h.run_robustness()
         else:

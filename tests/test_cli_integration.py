@@ -149,6 +149,40 @@ def test_cli_test_sr_smoke(fake_voc):
         "2007_000001_aug_SR.png"))
 
 
+def test_run_asr_batch_serving(fake_voc):
+    """The flagship serving CLI (cli/run_asr.py) end-to-end in batch mode:
+    staged host->device uploads, the single-device jit(vmap) program, the
+    packed-uint8 output fetch, the bounded writer pool, and the ragged tail
+    (3 images at batch 2 — the last program carries one padding image whose
+    outputs must be sliced away). Direct solver keeps the compile small (no
+    512-px gram-stencil extraction on the CPU host)."""
+    voc = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
+                       "VOC2012")
+    imgs = os.path.join(fake_voc, "asr_imgs")
+    os.makedirs(imgs, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for name in ("a_1", "a_2", "a_3"):  # 3 images -> ragged tail at batch 2
+        arr = rng.integers(0, 255, (512, 512, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(imgs, f"{name}.jpg"))
+    gt_dir = os.path.join(voc, "SegmentationClassAug")
+
+    out = _run(fake_voc, "run_asr.py", "--images", imgs,
+               "--gt_dir", gt_dir,  # no matching GT names: IoU path skipped
+               "--output_dir", str(fake_voc / "asr_out"),
+               "--backbone", "mobilenet", "--num_aug", "6", "--num_iter", "3",
+               "--solver_impl", "direct", "--batch", "2",
+               "--sr_types", "aug,max,mean", "--class_id", "8")
+    assert "steady-state" in out
+    produced = sorted(os.listdir(fake_voc / "asr_out"))
+    want = sorted(f"{n}_{k}.png" for n in ("a_1", "a_2", "a_3")
+                  for k in ("aug", "max", "mean", "standard"))
+    assert produced == want
+    # padding image (repeat of a_3) must NOT produce artifacts of its own,
+    # and every mask is a 512x512 label PNG
+    arr = np.asarray(Image.open(fake_voc / "asr_out" / "a_3_aug.png"))
+    assert arr.shape == (512, 512) or arr.shape == (512, 512, 1)
+
+
 def test_validate_parity_smoke(fake_voc):
     """The quality-parity harness runs end-to-end in --smoke mode: every
     workload executes on the bundled fixture with random weights, the CSVs
@@ -160,6 +194,8 @@ def test_validate_parity_smoke(fake_voc):
     assert "argmax_validation_final.csv" in produced
     assert any(p.startswith("th_argmax_") for p in produced)
     assert any(p.startswith("robustness_") for p in produced)
-    # table covers all three workloads
-    for row in ("aug_iou_single", "best_iou", "identity_miou"):
+    assert "sweep_best_argmax.csv" in produced
+    # table covers all four workloads
+    for row in ("aug_iou_single", "best_iou", "identity_miou",
+                "sweep/argmax_class8"):
         assert row in out
