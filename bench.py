@@ -81,11 +81,15 @@ def main():
     # and endorsed by the reference's own copy_dropout sweeps; set 0 for the
     # strict all-copies-every-iteration configuration.
     sgd_copies = int(os.environ.get("BENCH_SGD_COPIES", 0))
-    # Default solver: the precomputed-Gram data term (ops/gram.py) — the
-    # exact same objective and gradients as the reference's per-iteration
-    # warps (tests/test_gram.py), with the 2*num_aug warps replaced by a
-    # 63-tap stencil after a one-time probe extraction.
-    solver_impl = os.environ.get("BENCH_SOLVER", "gram")
+    # Default solvers on the precomputed-Gram data term (ops/gram.py) — the
+    # exact same objective as the reference's per-iteration warps
+    # (tests/test_gram.py). Serving mode uses IRLS-CG (equal-or-better
+    # recovery than 300 Adam steps at production shape on 10/10 synthetic
+    # problems, 13% faster end-to-end — scripts/ab_cg_vs_adam.py); strict
+    # mode keeps gram+Adam, whose trajectory matches the reference's Adam
+    # solve step-for-step.
+    solver_impl = os.environ.get(
+        "BENCH_SOLVER", "gram" if (strict or solve_only) else "cg")
     # BENCH_FAST=1: the tuned fast preset (60 iters, lr 1e-2, fast decay) —
     # equal recovery quality on the synthetic suite (tests/test_solver.py::
     # test_fast_preset_matches_reference_quality); the default stays the

@@ -61,6 +61,13 @@ parser.add_argument("--profile_dir", type=str, default=None,
                          "loop here (open with TensorBoard's profile plugin "
                          "or Perfetto)")
 add_sr_args(parser)
+# Serving default: the IRLS-CG solver on the Gram system. Measured on one
+# v5e chip at production shape: 5.99 vs 5.29 img/s end-to-end (13% faster)
+# AND strictly better recovery — +1.9 pt IoU, lower true objective on 10/10
+# synthetic 512px problems (scripts/ab_cg_vs_adam.py). The staged CLIs
+# (SR_single_class, sweep_script, ...) keep the gram+Adam default, whose
+# trajectory matches the reference's Adam solve step-for-step.
+parser.set_defaults(solver_impl="cg")
 
 
 class ArtifactWriter:

@@ -6,6 +6,7 @@ from .solver import (
     precompute_gram_stencil,
     forward_operator,
     max_superresolution,
+    max_mean_superresolution,
     mean_superresolution,
     sr_loss,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "precompute_gram_stencil",
     "forward_operator",
     "max_superresolution",
+    "max_mean_superresolution",
     "mean_superresolution",
     "sr_loss",
     "normalize_coefficients",

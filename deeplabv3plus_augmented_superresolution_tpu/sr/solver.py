@@ -233,7 +233,7 @@ def augmented_superresolution(lr_masks: jnp.ndarray, angles: jnp.ndarray,
     upsample of the first (identity) copy (reference superresolution.py:112-114).
 
     gram_coeffs: optional precomputed stencil from precompute_gram_stencil
-    (solver_impl="gram" only); skips the per-solve probe extraction. Must
+    (solver_impl="gram" or "cg"); skips the per-solve probe extraction. Must
     have been extracted for the SAME (angles, shifts, cfg); incompatible with
     copy_dropout, whose mask changes per solve.
     """
