@@ -60,6 +60,17 @@ parser.add_argument("--profile_dir", type=str, default=None,
                     help="write an XLA profiler trace of the steady-state "
                          "loop here (open with TensorBoard's profile plugin "
                          "or Perfetto)")
+parser.add_argument("--cache_dir", type=str,
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), ".dsr_cache"),
+                    help="warm-start cache for the serving gram stencil, "
+                         "keyed by (TTA set, operator config): restarts skip "
+                         "the ~45-145s probe extraction (measured 0.7s warm "
+                         "load). '' disables. (The XLA persistent "
+                         "compilation cache was measured a NON-lever through "
+                         "the tunneled backend: deserializing the 93 MB "
+                         "serving executable costs as much as compiling it — "
+                         "see NOTES.md.)")
 add_sr_args(parser)
 # Serving default: the IRLS-CG solver on the Gram system. Measured on one
 # v5e chip at production shape: 5.99 vs 5.29 img/s end-to-end (13% faster)
@@ -161,15 +172,29 @@ def main():
                 and sr_cfg.copy_dropout == 0.0
                 and not (0 < sr_cfg.sgd_copies < sr_cfg.num_aug)):
             from deeplabv3plus_augmented_superresolution_tpu.sr import (
+                load_stencil,
                 precompute_gram_stencil,
+                save_stencil,
             )
-            t0 = time.time()
-            gram_coeffs = jax.jit(precompute_gram_stencil,
-                                  static_argnames=("cfg",))(
-                angles_s, shifts_s, sr_cfg)
-            gram_coeffs.block_until_ready()
-            print(f"gram stencil precomputed once in {time.time() - t0:.1f}s "
-                  "(amortized across all images)")
+
+            cached = (load_stencil(args.cache_dir, angles_s, shifts_s, sr_cfg)
+                      if args.cache_dir else None)
+            if cached is not None:
+                t0 = time.time()
+                gram_coeffs = jax.device_put(cached)
+                print(f"gram stencil loaded from cache in "
+                      f"{time.time() - t0:.1f}s")
+            else:
+                t0 = time.time()
+                gram_coeffs = jax.jit(precompute_gram_stencil,
+                                      static_argnames=("cfg",))(
+                    angles_s, shifts_s, sr_cfg)
+                gram_coeffs.block_until_ready()
+                print(f"gram stencil precomputed once in "
+                      f"{time.time() - t0:.1f}s (amortized across all images)")
+                if args.cache_dir:
+                    save_stencil(args.cache_dir, angles_s, shifts_s, sr_cfg,
+                                 gram_coeffs)
 
     import jax.numpy as jnp
 

@@ -11,6 +11,7 @@ from .solver import (
     sr_loss,
 )
 from .postprocess import normalize_coefficients, threshold_image
+from .stencil_cache import load_stencil, save_stencil, stencil_cache_key
 
 __all__ = [
     "OptimizerConfig",
@@ -27,4 +28,7 @@ __all__ = [
     "sr_loss",
     "normalize_coefficients",
     "threshold_image",
+    "load_stencil",
+    "save_stencil",
+    "stencil_cache_key",
 ]
