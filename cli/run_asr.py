@@ -21,7 +21,13 @@ parser.add_argument("--gt_dir", type=str, default=None,
                     help="optional dir of <name>.png GT label masks for IoU")
 parser.add_argument("--output_dir", type=str,
                     default=os.path.join(os.getcwd(), "asr_output"))
-parser.add_argument("--class_id", type=int, default=8, choices=range(21))
+parser.add_argument("--class_id", type=str, default="8",
+                    help="PASCAL class id (reference semantics), a comma "
+                         "list like '8,12,15', or 'all' (classes 1-20). "
+                         "Multi-class runs share one DeepLab forward and one "
+                         "Gram stencil across every class — the reference "
+                         "(single class per run, its README.md:5-6) would "
+                         "need K full pipelines")
 parser.add_argument("--mode", type=str, default="argmax",
                     choices=["slice_max", "slice", "argmax"])
 parser.add_argument("--backbone", type=str, default="xception",
@@ -116,8 +122,20 @@ class ArtifactWriter:
         self.pool.shutdown()
 
 
+def parse_class_ids(spec: str):
+    """'8' -> (8,); '8,12' -> (8, 12); 'all' -> the 20 foreground classes."""
+    if spec.strip().lower() == "all":
+        return tuple(range(1, 21))
+    ids = tuple(int(t) for t in spec.split(",") if t.strip())
+    if not ids or any(not 0 <= c <= 20 for c in ids):
+        raise SystemExit(f"--class_id must name classes in 0..20, got {spec!r}")
+    return ids
+
+
 def main():
     args = parser.parse_args()
+    class_ids = parse_class_ids(args.class_id)
+    multi = len(class_ids) > 1
     if args.fast:
         args.num_iter = min(args.num_iter, 60)
         args.learning_rate = max(args.learning_rate, 1e-2)
@@ -147,6 +165,7 @@ def main():
     from deeplabv3plus_augmented_superresolution_tpu.metrics import compute_iou
     from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
         asr_step,
+        asr_step_multiclass,
         sample_augmentations,
     )
 
@@ -212,10 +231,17 @@ def main():
 
     @device_resilient(max_retries=2)
     def run_one(image, angles, shifts):
-        out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
-                       class_id=args.class_id, mode=args.mode,
-                       th_factor=args.th_factor, sr_types=sr_types,
-                       chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
+        if multi:
+            out = asr_step_multiclass(
+                params, image, angles, shifts, model_cfg, sr_cfg,
+                class_ids=class_ids, mode=args.mode, th_factor=args.th_factor,
+                sr_types=sr_types, chunk_size=args.chunk_size,
+                gram_coeffs=gram_coeffs)
+        else:
+            out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
+                           class_id=class_ids[0], mode=args.mode,
+                           th_factor=args.th_factor, sr_types=sr_types,
+                           chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
         # packed device array; the writer fetches it overlapped with the
         # next image's dispatch.
         return pack_out(out)
@@ -307,14 +333,22 @@ def main():
             # SAME computation on one v5e chip (22% partitioner overhead) —
             # the mesh buys nothing without a second device. vmap + uint8
             # pack fuse into ONE program: one dispatch, one fetched array.
+            def step_one(p, i_):
+                if multi:
+                    return asr_step_multiclass(
+                        p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
+                        class_ids=class_ids, mode=args.mode,
+                        th_factor=args.th_factor, sr_types=sr_types,
+                        chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
+                return asr_step(
+                    p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
+                    class_id=class_ids[0], mode=args.mode,
+                    th_factor=args.th_factor, sr_types=sr_types,
+                    chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
+
             @jax.jit
             def single_fn(p, im):
-                out = jax.vmap(lambda i_: asr_step(
-                    p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
-                    class_id=args.class_id, mode=args.mode,
-                    th_factor=args.th_factor, sr_types=sr_types,
-                    chunk_size=args.chunk_size,
-                    gram_coeffs=gram_coeffs))(im)
+                out = jax.vmap(lambda i_: step_one(p, i_))(im)
                 return jnp.stack([out[k].astype(jnp.uint8)
                                   for k in out_keys])
         else:
@@ -327,7 +361,8 @@ def main():
                 data_ax -= 1
             mesh = make_mesh(shape=(data_ax, n_dev // data_ax))
             batch_fn = make_asr_batch_fn(mesh, model_cfg, sr_cfg,
-                                         class_id=args.class_id,
+                                         class_id=(class_ids if multi
+                                                   else class_ids[0]),
                                          mode=args.mode,
                                          th_factor=args.th_factor,
                                          sr_types=sr_types,
@@ -424,7 +459,11 @@ def main():
                 yield item
 
     os.makedirs(args.output_dir, exist_ok=True)
-    ious = {k: [] for k in sr_types + ("standard",)}
+    if multi:
+        ious = {f"{k}/c{cid}": [] for k in sr_types + ("standard",)
+                for cid in class_ids}
+    else:
+        ious = {k: [] for k in sr_types + ("standard",)}
     start = time.time()
     steady_start = None
     n_done = 0
@@ -444,17 +483,31 @@ def main():
             print(f"profiler trace written to {args.profile_dir}")
 
     def emit(name, out_masks):
-        """Encode + score host-side masks — runs on the writer pool."""
+        """Encode + score host-side masks — runs on the writer pool.
+        Multi-class results carry a leading class axis: one PNG (and one IoU
+        series) per class, suffixed _c<id>."""
         for k, mask in out_masks.items():
-            save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
-                     mask, scale=False, compress_level=1)
+            if multi:
+                for j, cid in enumerate(class_ids):
+                    save_img(os.path.join(args.output_dir,
+                                          f"{name}_{k}_c{cid}.png"),
+                             mask[j], scale=False, compress_level=1)
+            else:
+                save_img(os.path.join(args.output_dir, f"{name}_{k}.png"),
+                         mask, scale=False, compress_level=1)
         if args.gt_dir:
             gt_path = os.path.join(args.gt_dir, f"{name}.png")
             if os.path.exists(gt_path):
                 gt = load_image(gt_path, image_size=IMG_SIZE, normalize=False,
                                 is_png=True, resize_method="nearest")
-                scores = {k: compute_iou(gt, mask, class_id=args.class_id)
-                          for k, mask in out_masks.items()}
+                if multi:
+                    scores = {f"{k}/c{cid}": compute_iou(gt, mask[j],
+                                                         class_id=cid)
+                              for k, mask in out_masks.items()
+                              for j, cid in enumerate(class_ids)}
+                else:
+                    scores = {k: compute_iou(gt, mask, class_id=class_ids[0])
+                              for k, mask in out_masks.items()}
                 lock = writer.lock if writer else None
                 if lock:
                     lock.acquire()

@@ -1,7 +1,8 @@
 from .resize import resize, resize_matrix
 from .shear_warp import paeth_inverse_rotate_translate, paeth_rotate_translate
 from .fused_operator import fused_warp_downsample
-from .opm import (create_mask, extract_masks, get_prediction,
+from .opm import (create_mask, extract_masks, extract_masks_multiclass,
+                  get_prediction,
                   min_max_normalization, prepare_sr_inputs)
 from .gradients import bilateral_tv, image_gradients, total_variation
 from .warp import (
@@ -23,6 +24,7 @@ __all__ = [
     "create_mask",
     "get_prediction",
     "extract_masks",
+    "extract_masks_multiclass",
     "min_max_normalization",
     "prepare_sr_inputs",
     "bilateral_tv",

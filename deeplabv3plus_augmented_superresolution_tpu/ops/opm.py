@@ -16,6 +16,7 @@ Modes:
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 MODES = ("argmax", "slice", "slice_max")
@@ -62,6 +63,53 @@ def extract_masks(predictions: jnp.ndarray, class_id: int, mode: str = "argmax"
     ) + predictions
     max_masks = others.max(axis=-1, keepdims=True).astype(jnp.float32)
     return class_masks, max_masks
+
+
+def extract_masks_multiclass(predictions: jnp.ndarray, class_ids: jnp.ndarray,
+                             mode: str = "argmax"
+                             ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Multi-class OPM: (N, h, w, C) logits + (K,) class ids ->
+    ((K, N, h, w, 1) class masks, (K, N, h, w, 1) max masks or None).
+
+    The reference is single-class per run (README.md:5-6); here the
+    class-independent work (argmax labels / per-copy global min-max) is
+    computed once and the per-class selection is vmapped over the class axis,
+    so K classes cost one forward pass plus K cheap selections. Per-class
+    results match extract_masks(predictions, class_ids[k], mode) exactly.
+    """
+    class_ids = jnp.asarray(class_ids, jnp.int32)
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+
+    if mode == "argmax":
+        labels = jnp.argmax(predictions, axis=-1)[..., None]  # shared
+        masks = jax.vmap(
+            lambda c: jnp.where(labels == c, labels, 0).astype(jnp.float32)
+        )(class_ids)
+        return masks, None
+
+    def take_channel(c):
+        return jnp.take(predictions, c, axis=-1)[..., None].astype(jnp.float32)
+
+    if mode == "slice":
+        gmin = predictions.min(axis=(-3, -2, -1), keepdims=True)  # shared
+        gmax = predictions.max(axis=(-3, -2, -1), keepdims=True)
+        masks = jax.vmap(
+            lambda c: min_max_normalization(take_channel(c), 0.0, 1.0,
+                                            global_min=gmin, global_max=gmax)
+        )(class_ids)
+        return masks, None
+
+    # slice_max
+    num_classes = predictions.shape[-1]
+
+    def per_class(c):
+        others = jnp.where(
+            jnp.arange(num_classes) == c, -jnp.inf, 0.0
+        ) + predictions
+        return take_channel(c), others.max(axis=-1, keepdims=True).astype(jnp.float32)
+
+    return jax.vmap(per_class)(class_ids)
 
 
 def normalize_stack(masks: jnp.ndarray, global_normalize: bool = True) -> jnp.ndarray:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.deeplab import DeepLabConfig
-from ..pipeline.end_to_end import asr_step
+from ..pipeline.end_to_end import asr_step, asr_step_multiclass
 from ..sr.solver import SRConfig
 
 
@@ -50,7 +50,7 @@ def _padded_cfg(sr_cfg: SRConfig, mesh: Mesh) -> SRConfig:
 
 
 def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
-                      class_id: int, mode: str = "argmax",
+                      class_id, mode: str = "argmax",
                       th_factor: float = 0.15,
                       sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
                       chunk_size: int = 0, gram_coeffs=None,
@@ -69,15 +69,27 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
     (sr.precompute_gram_stencil, computed with the PADDED cfg — see
     padded_sr_cfg); replicated across the mesh and shared by every image in
     the batch.
+
+    class_id: an int for the reference's single-class semantics, or a tuple
+    of ints for the multi-class program (asr_step_multiclass) — outputs then
+    carry a class axis after the batch axis: (B, K, H, W, 1).
     """
     sr_cfg = _padded_cfg(sr_cfg, mesh)
     if gram_coeffs is not None:
         gram_coeffs = jax.device_put(gram_coeffs,
                                      NamedSharding(mesh, P()))
+    multiclass = isinstance(class_id, tuple) and len(class_id) > 1
+    one_class = class_id[0] if (isinstance(class_id, tuple)
+                                and not multiclass) else class_id
 
     def batch_fn(params, images, angles, shifts):
         def per_image(image, a, s):
-            return asr_step(params, image, a, s, model_cfg, sr_cfg, class_id,
+            if multiclass:
+                return asr_step_multiclass(
+                    params, image, a, s, model_cfg, sr_cfg, tuple(class_id),
+                    mode, th_factor, True, sr_types, chunk_size,
+                    gram_coeffs=gram_coeffs, return_targets=return_targets)
+            return asr_step(params, image, a, s, model_cfg, sr_cfg, one_class,
                             mode, th_factor, True, sr_types, chunk_size,
                             gram_coeffs=gram_coeffs,
                             return_targets=return_targets)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.deeplab import DeepLabConfig, forward
-from ..ops.opm import extract_masks, prepare_sr_inputs
+from ..ops.opm import extract_masks, extract_masks_multiclass, prepare_sr_inputs
 from ..ops.resize import resize
 from ..sr.postprocess import threshold_image
 from ..sr.solver import (
@@ -27,6 +27,7 @@ from ..sr.solver import (
     max_mean_superresolution,
     max_superresolution,
     mean_superresolution,
+    multiclass_max_mean_superresolution,
 )
 from .augment import make_augmented_copies
 
@@ -115,4 +116,112 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
     hr_logits = resize(preds[0], model_cfg.input_shape[:2], method="bilinear")
     standard = jnp.argmax(hr_logits, axis=-1)[..., None]
     results["standard"] = jnp.where(standard == class_id, standard, 0).astype(jnp.float32)
+    return results
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_ids", "mode",
+                                   "th_factor", "global_normalize", "sr_types",
+                                   "chunk_size", "return_targets"))
+def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
+                        shifts: jnp.ndarray, model_cfg: DeepLabConfig,
+                        sr_cfg: SRConfig, class_ids: Tuple[int, ...],
+                        mode: str = "argmax", th_factor: float = 0.15,
+                        global_normalize: bool = True,
+                        sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
+                        chunk_size: int = 0,
+                        dropout_key: Optional[jax.Array] = None,
+                        gram_coeffs: Optional[jnp.ndarray] = None,
+                        return_targets: bool = False) -> Dict[str, jnp.ndarray]:
+    """Full ASR for one image over MANY classes in one program — the
+    capability the reference explicitly lacks (single fixed class_id per run,
+    reference README.md:5-6, which would need K separate staged runs).
+
+    The expensive, class-independent work is shared: one copies warp + one
+    DeepLabV3+ forward feed every class, and the Gram stencil (gram_coeffs /
+    solver_impl="gram"/"cg") depends only on (angles, shifts, cfg) — image and
+    class content enter the normal equations only through b = A^T y — so all K
+    solves reuse one stencil and run vmapped over the class axis. Marginal
+    cost per extra class is one OPM selection + one solve (+ optional
+    max/mean inverse-warp stack), not a pipeline rerun.
+
+    Returns the asr_step dict with a leading class axis: each value is
+    (K, H, W, 1) float32 with values {0, class_ids[k]} in slice k, ordered as
+    class_ids. Per-class slices match asr_step(class_id=class_ids[k], ...)
+    exactly (tests/test_multiclass.py).
+    """
+    num_aug = sr_cfg.num_aug
+    if model_cfg.compute_dtype == "bfloat16":
+        image = image.astype(jnp.bfloat16)
+    copies = make_augmented_copies(image, angles, shifts, num_aug,
+                                   warp_impl=sr_cfg.warp_impl,
+                                   angle_max=sr_cfg.angle_max)
+
+    if chunk_size and num_aug > chunk_size and num_aug % chunk_size == 0:
+        chunks = copies.reshape((num_aug // chunk_size, chunk_size) + copies.shape[1:])
+        preds = jax.lax.map(lambda c: forward(params, c, model_cfg), chunks)
+        preds = preds.reshape((num_aug,) + preds.shape[2:])
+    else:
+        preds = forward(params, copies, model_cfg)
+
+    cls = jnp.asarray(class_ids, jnp.int32)
+    class_masks, max_masks = extract_masks_multiclass(preds, cls, mode)
+    prep = partial(prepare_sr_inputs, mode=mode,
+                   global_normalize=global_normalize)
+    if max_masks is None:
+        class_masks = jax.vmap(lambda m: prep(m, None)[0])(class_masks)
+    else:
+        class_masks, max_masks = jax.vmap(prep)(class_masks, max_masks)
+
+    # Per-class dropout keys preserve the single-class semantics (each class's
+    # solve draws its own mask, as K separate runs would).
+    keys = (jax.random.split(dropout_key, len(class_ids))
+            if dropout_key is not None else None)
+
+    def solve_aug(masks, key):
+        return augmented_superresolution(masks, angles, shifts, sr_cfg,
+                                         dropout_key=key,
+                                         gram_coeffs=gram_coeffs)[0]
+
+    def vmap_aug(masks):
+        if keys is None:
+            return jax.vmap(lambda m: solve_aug(m, None))(masks)
+        return jax.vmap(solve_aug)(masks, keys)
+
+    # max/mean share ONE flat inverse-warp stack across classes AND both
+    # reductions (the shear warp wants a flat 4-D batch; vmap would loop it).
+    targets: Dict[str, Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = {}
+    if "max" in sr_types or "mean" in sr_types:
+        mx, mean = multiclass_max_mean_superresolution(class_masks, angles,
+                                                       shifts, sr_cfg)
+        targets["max"], targets["mean"] = (mx, None), (mean, None)
+        if mode == "slice_max" and max_masks is not None:
+            mx_m, mean_m = multiclass_max_mean_superresolution(
+                max_masks, angles, shifts, sr_cfg)
+            targets["max"], targets["mean"] = (mx, mx_m), (mean, mean_m)
+
+    results: Dict[str, jnp.ndarray] = {}
+    for sr_type in sr_types:
+        if sr_type in targets:
+            target_class, target_max = targets[sr_type]
+        else:  # "aug"
+            target_class = vmap_aug(class_masks)
+            target_max = (vmap_aug(max_masks)
+                          if mode == "slice_max" and max_masks is not None
+                          else None)
+        if target_max is not None:
+            th = jax.vmap(lambda t, m, c: threshold_image(t, c, th_mask=m)
+                          )(target_class, target_max, cls)
+        else:
+            th = jax.vmap(
+                lambda t, c: threshold_image(t, c, th_factor=th_factor)
+            )(target_class, cls)
+        results[sr_type] = th.astype(jnp.float32)
+        if return_targets:
+            results[sr_type + "_target"] = target_class.astype(jnp.float32)
+
+    hr_logits = resize(preds[0], model_cfg.input_shape[:2], method="bilinear")
+    standard = jnp.argmax(hr_logits, axis=-1)[..., None]
+    results["standard"] = jax.vmap(
+        lambda c: jnp.where(standard == c, standard, 0).astype(jnp.float32)
+    )(cls)
     return results

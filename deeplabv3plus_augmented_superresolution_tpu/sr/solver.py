@@ -534,6 +534,30 @@ def max_mean_superresolution(lr_masks, angles, shifts, cfg: SRConfig):
     return mx, mean
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def multiclass_max_mean_superresolution(lr_masks, angles, shifts,
+                                        cfg: SRConfig):
+    """(K, num_aug, h, w, 1) per-class stacks -> ((K, H, W, 1) max SR,
+    (K, H, W, 1) mean SR).
+
+    The class axis rides the warp batch (ONE inverse-warp stack of
+    K*num_aug images with tiled angles/shifts) instead of a vmapped loop:
+    the shear warp is written for a flat 4-D batch, and one big batch keeps
+    the kernel's row blocks full."""
+    k, n = lr_masks.shape[0], cfg.num_aug
+    flat = lr_masks.reshape((k * n,) + lr_masks.shape[2:])
+    up = _inverse_warp(flat, jnp.tile(angles, k), jnp.tile(shifts, (k, 1)),
+                       cfg)
+    up = up.reshape((k, n) + up.shape[1:])
+    valid = _valid_weights(cfg)
+    if valid is None:
+        return jnp.max(up, axis=1), jnp.mean(up, axis=1)
+    vmask = valid[None, :, None, None, None]
+    mx = jnp.max(jnp.where(vmask > 0, up, -jnp.inf), axis=1)
+    mean = jnp.sum(up * vmask, axis=1) / cfg.n_valid
+    return mx, mean
+
+
 SR_FUNCTIONS = {
     "aug": augmented_superresolution,
     "max": max_superresolution,

@@ -183,6 +183,31 @@ def test_run_asr_batch_serving(fake_voc):
     assert arr.shape == (512, 512) or arr.shape == (512, 512, 1)
 
 
+def test_run_asr_multiclass(fake_voc):
+    """--class_id as a comma list: one forward + one program recover several
+    classes; artifacts and IoU series are emitted per class (_c<id> suffix).
+    The reference needs one full staged pipeline per class (its README.md:5-6).
+    """
+    voc = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
+                       "VOC2012")
+    imgs = os.path.join(voc, "JPEGImages")
+    gt_dir = os.path.join(voc, "SegmentationClassAug")
+    out = _run(fake_voc, "run_asr.py", "--images", imgs,
+               "--gt_dir", gt_dir,
+               "--output_dir", str(fake_voc / "asr_mc_out"),
+               "--backbone", "mobilenet", "--num_aug", "6", "--num_iter", "3",
+               "--solver_impl", "direct", "--sr_types", "aug",
+               "--class_id", "8,12", "--cache_dir", "")
+    produced = sorted(os.listdir(fake_voc / "asr_mc_out"))
+    want = sorted(f"{n}_{k}_c{c}.png"
+                  for n in ("2007_000001", "2007_000002")
+                  for k in ("aug", "standard") for c in (8, 12))
+    assert produced == want
+    # per-class IoU series rendered (GT names match the fixture images)
+    assert "avg IoU[aug/c8]" in out
+    assert "avg IoU[standard/c12]" in out
+
+
 def test_validate_parity_smoke(fake_voc):
     """The quality-parity harness runs end-to-end in --smoke mode: every
     workload executes on the bundled fixture with random weights, the CSVs

@@ -1,0 +1,113 @@
+"""Multi-class ASR: one forward pass + one Gram stencil, K vmapped solves.
+
+The reference is single-class per run (README.md:5-6 — a fixed class_id like
+8=cat); recovering K classes there means K full staged pipelines. Our
+asr_step_multiclass shares the copies warp, the DeepLabV3+ forward, and the
+class-independent Gram stencil across all classes. These tests pin the
+correctness contract: every per-class slice of the multiclass program equals
+the single-class program's output exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deeplabv3plus_augmented_superresolution_tpu.models import (
+    DeepLabConfig,
+    build_model,
+)
+from deeplabv3plus_augmented_superresolution_tpu.ops.opm import (
+    extract_masks,
+    extract_masks_multiclass,
+)
+from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+    asr_step,
+    asr_step_multiclass,
+    sample_augmentations,
+)
+from deeplabv3plus_augmented_superresolution_tpu.sr import (
+    OptimizerConfig,
+    SRConfig,
+    precompute_gram_stencil,
+)
+
+
+@pytest.mark.parametrize("mode", ["argmax", "slice", "slice_max"])
+def test_extract_masks_multiclass_matches_single(mode):
+    rng = np.random.default_rng(7)
+    preds = jnp.asarray(rng.normal(size=(5, 8, 8, 21)).astype(np.float32))
+    class_ids = (3, 8, 15)
+    multi_cls, multi_max = extract_masks_multiclass(
+        preds, jnp.asarray(class_ids), mode)
+    for k, c in enumerate(class_ids):
+        single_cls, single_max = extract_masks(preds, c, mode)
+        np.testing.assert_array_equal(np.asarray(multi_cls[k]),
+                                      np.asarray(single_cls))
+        if single_max is None:
+            assert multi_max is None
+        else:
+            np.testing.assert_array_equal(np.asarray(multi_max[k]),
+                                          np.asarray(single_max))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), backbone="mobilenet",
+                        final_upsample=False)
+    params, _ = build_model(cfg, seed=0)
+    sr_cfg = SRConfig(num_iter=20, num_aug=6, feature_size=(8, 8),
+                      output_size=(64, 64), angle_max=0.25,
+                      optimizer=OptimizerConfig(learning_rate=1e-2))
+    angles, shifts = sample_augmentations(jax.random.key(0), 6, 0.2, 5.0)
+    rng = np.random.default_rng(1)
+    image = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    return cfg, params, sr_cfg, image, angles, shifts
+
+
+@pytest.mark.parametrize("mode", ["argmax", "slice_max"])
+def test_asr_step_multiclass_matches_single_runs(setup, mode):
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    class_ids = (2, 9)
+    multi = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                                class_ids=class_ids, mode=mode,
+                                th_factor=0.2, return_targets=True)
+    for k, c in enumerate(class_ids):
+        single = asr_step(params, image, angles, shifts, cfg, sr_cfg,
+                          class_id=c, mode=mode, th_factor=0.2,
+                          return_targets=True)
+        assert set(multi) == set(single)
+        for key in single:
+            got = np.asarray(multi[key][k])
+            want = np.asarray(single[key])
+            assert got.shape == want.shape, key
+            if key.endswith("_target"):
+                np.testing.assert_allclose(got, want, atol=1e-5, err_msg=key)
+            else:
+                # thresholded masks: identical up to threshold-margin pixels
+                disagree = np.mean(got != want)
+                assert disagree < 0.002, (key, disagree)
+                assert set(np.unique(got)) <= {0.0, float(c)}, key
+
+
+def test_multiclass_shares_one_gram_stencil(setup):
+    """The serving path: ONE precomputed stencil feeds every class's solve."""
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    import dataclasses
+    sr_cfg = dataclasses.replace(sr_cfg, solver_impl="gram")
+    coeffs = precompute_gram_stencil(angles, shifts, sr_cfg)
+    class_ids = (2, 9, 14)
+    multi = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                                class_ids=class_ids, mode="argmax",
+                                th_factor=0.2, sr_types=("aug",),
+                                gram_coeffs=coeffs, return_targets=True)
+    assert multi["aug"].shape == (3, 64, 64, 1)
+    for k, c in enumerate(class_ids):
+        single = asr_step(params, image, angles, shifts, cfg, sr_cfg,
+                          class_id=c, mode="argmax", th_factor=0.2,
+                          sr_types=("aug",), gram_coeffs=coeffs,
+                          return_targets=True)
+        np.testing.assert_allclose(np.asarray(multi["aug_target"][k]),
+                                   np.asarray(single["aug_target"]),
+                                   atol=1e-5)
