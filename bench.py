@@ -95,6 +95,12 @@ def main():
     # test_fast_preset_matches_reference_quality); the default stays the
     # reference's 300-iteration configuration for apples-to-apples numbers.
     fast = os.environ.get("BENCH_FAST") == "1"
+    # BENCH_CLASSES=K (serving modes only): recover K classes per image in
+    # ONE program (pipeline.asr_step_multiclass — shared forward + shared
+    # Gram stencil, vmapped solves). K=20 measured 604 ms/img vs 191 ms for
+    # K=1 on one v5e chip (NOTES.md "Multi-class ASR"): 30 ms marginal per
+    # class; the reference would run K full staged pipelines.
+    n_classes = max(int(os.environ.get("BENCH_CLASSES", 1)), 1)
     if fast:
         num_iter = min(num_iter, 60)
         sgd_copies = sgd_copies or 25
@@ -138,10 +144,23 @@ def main():
                               static_argnames=("cfg",))(angles, shifts, sr_cfg)
         gram_coeffs.block_until_ready()
 
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        asr_step_multiclass,
+    )
+    class_ids = tuple(range(1, 1 + n_classes))
+
+    def step_one(im, a, s):
+        if n_classes > 1:
+            return asr_step_multiclass(params, im, a, s, model_cfg, sr_cfg,
+                                       class_ids=class_ids, mode="argmax",
+                                       th_factor=0.2, chunk_size=chunk,
+                                       gram_coeffs=gram_coeffs)
+        return asr_step(params, im, a, s, model_cfg, sr_cfg,
+                        class_id=8, mode="argmax", th_factor=0.2,
+                        chunk_size=chunk, gram_coeffs=gram_coeffs)
+
     def run(a, s):
-        out = asr_step(params, image, a, s, model_cfg, sr_cfg,
-                       class_id=8, mode="argmax", th_factor=0.2,
-                       chunk_size=chunk, gram_coeffs=gram_coeffs)
+        out = step_one(image, a, s)
         # One combined device->host sync (block_until_ready can be a no-op
         # through the axon tunnel; each separate fetch costs ~30ms).
         return float(sum(jnp.sum(v) for v in out.values()))
@@ -233,9 +252,7 @@ def main():
         # cli/run_asr --batch path on one chip.
         images = jnp.stack([image] * batch)
         batch_fn = jax.jit(jax.vmap(
-            lambda im: asr_step(params, im, angles, shifts, model_cfg, sr_cfg,
-                                class_id=8, mode="argmax", th_factor=0.2,
-                                chunk_size=chunk, gram_coeffs=gram_coeffs)))
+            lambda im: step_one(im, angles, shifts)))
 
         def run_batch():
             out = batch_fn(images)
@@ -264,7 +281,8 @@ def main():
     else:
         mode_str = (("strict: per-image augs, per-image dispatch" if strict
                      else "serving mode: fixed TTA set, stencil amortized")
-                    + (f", batch={batch}" if batch > 1 else ""))
+                    + (f", batch={batch}" if batch > 1 else "")
+                    + (f", {n_classes} classes/img" if n_classes > 1 else ""))
         stages = "FULL pipeline (fwd+OPM+aug+max+mean+standard)"
     print(json.dumps({
         "metric": "asr_e2e_images_per_sec",

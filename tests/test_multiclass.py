@@ -91,6 +91,40 @@ def test_asr_step_multiclass_matches_single_runs(setup, mode):
                 assert set(np.unique(got)) <= {0.0, float(c)}, key
 
 
+def test_multiclass_sharded_batch_matches_single_device(setup):
+    """The class axis composes with the ("data","aug") mesh sharding: the
+    batched mesh program's per-class outputs match the unsharded multiclass
+    step (class axis is unsharded; batch on "data", copies on "aug")."""
+    from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+        make_asr_batch_fn,
+        make_mesh,
+        shard_batch,
+    )
+
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    mesh = make_mesh(shape=(2, 4))
+    batch = 2
+    images = jnp.stack([image, image * 0.5])
+    a = jnp.stack([angles, angles])
+    s = jnp.stack([shifts, shifts])
+    class_ids = (2, 9)
+
+    fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=class_ids,
+                           mode="argmax", th_factor=0.2, sr_types=("aug",))
+    p, im, a_, s_ = shard_batch(mesh, params, images, a, s)
+    out = fn(p, im, a_, s_)
+    assert out["aug"].shape == (batch, len(class_ids), 64, 64, 1)
+
+    # padded-aug cfg must match what the mesh program ran (8 copies / 4
+    # shards divide evenly here, so cfg is unchanged)
+    single = asr_step_multiclass(params, images[1], angles, shifts, cfg,
+                                 sr_cfg, class_ids=class_ids, mode="argmax",
+                                 th_factor=0.2, sr_types=("aug",))
+    for k in single:
+        disagree = np.mean(np.asarray(out[k][1]) != np.asarray(single[k]))
+        assert disagree < 0.005, (k, disagree)
+
+
 def test_multiclass_shares_one_gram_stencil(setup):
     """The serving path: ONE precomputed stencil feeds every class's solve."""
     cfg, params, sr_cfg, image, angles, shifts = setup
