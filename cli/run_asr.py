@@ -38,6 +38,14 @@ parser.add_argument("--shift_max", type=float, default=80)
 parser.add_argument("--th_factor", type=float, default=0.2)
 parser.add_argument("--sr_types", type=str, default="aug",
                     help="comma list of aug,max,mean")
+parser.add_argument("--label_map", action="store_true",
+                    help="multi-class only: also emit <name>_labelmap.png — a "
+                         "full-scene HR segmentation combining the per-class "
+                         "aug-SR targets (best class above threshold per "
+                         "pixel) — plus the plain model's upsampled argmax "
+                         "labels (_labelmap_standard.png) and, with --gt_dir, "
+                         "mean-IoU scores for both. A product the reference "
+                         "cannot emit at all (one class per run)")
 parser.add_argument("--fast", action="store_true",
                     help="tuned fast preset: 60 iters, lr 1e-2, 25-copy minibatch")
 parser.add_argument("--per_image_augs", action="store_true",
@@ -175,6 +183,10 @@ def main():
     sr_cfg = make_sr_config(args, num_aug=args.num_aug, feature_size=feature,
                             angle_max=args.angle_max)
     sr_types = tuple(t.strip() for t in args.sr_types.split(",") if t.strip())
+    use_label_map = args.label_map
+    if use_label_map and (not multi or "aug" not in sr_types):
+        raise SystemExit("--label_map needs a multi-class --class_id and "
+                         "'aug' in --sr_types")
 
     from deeplabv3plus_augmented_superresolution_tpu.utils import device_resilient
 
@@ -226,8 +238,14 @@ def main():
     host_dtype = (ml_dtypes.bfloat16
                   if model_cfg.compute_dtype == "bfloat16" else np.float32)
     out_keys = tuple(sorted(set(sr_types) | {"standard"}))
-    pack_out = jax.jit(
-        lambda d: jnp.stack([d[k].astype(jnp.uint8) for k in out_keys]))
+    lm_keys = ("label_map", "label_map_standard")
+    # Everything still travels as ONE device->host fetch: per-class masks in
+    # one uint8 stack and (optionally) the two label maps in a second — the
+    # tuple is fetched together by the writer.
+    pack_out = jax.jit(lambda d: (
+        jnp.stack([d[k].astype(jnp.uint8) for k in out_keys]),
+        (jnp.stack([d[k].astype(jnp.uint8) for k in lm_keys])
+         if use_label_map else None)))
 
     @device_resilient(max_retries=2)
     def run_one(image, angles, shifts):
@@ -236,7 +254,7 @@ def main():
                 params, image, angles, shifts, model_cfg, sr_cfg,
                 class_ids=class_ids, mode=args.mode, th_factor=args.th_factor,
                 sr_types=sr_types, chunk_size=args.chunk_size,
-                gram_coeffs=gram_coeffs)
+                gram_coeffs=gram_coeffs, return_label_map=use_label_map)
         else:
             out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
                            class_id=class_ids[0], mode=args.mode,
@@ -339,7 +357,8 @@ def main():
                         p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
                         class_ids=class_ids, mode=args.mode,
                         th_factor=args.th_factor, sr_types=sr_types,
-                        chunk_size=args.chunk_size, gram_coeffs=gram_coeffs)
+                        chunk_size=args.chunk_size, gram_coeffs=gram_coeffs,
+                        return_label_map=use_label_map)
                 return asr_step(
                     p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
                     class_id=class_ids[0], mode=args.mode,
@@ -348,9 +367,7 @@ def main():
 
             @jax.jit
             def single_fn(p, im):
-                out = jax.vmap(lambda i_: step_one(p, i_))(im)
-                return jnp.stack([out[k].astype(jnp.uint8)
-                                  for k in out_keys])
+                return pack_out(jax.vmap(lambda i_: step_one(p, i_))(im))
         else:
             single_fn = None
             # The "data" axis must divide BOTH the device count (mesh
@@ -368,6 +385,7 @@ def main():
                                          sr_types=sr_types,
                                          chunk_size=args.chunk_size,
                                          gram_coeffs=gram_coeffs,
+                                         return_label_map=use_label_map,
                                          pack_uint8=True)
 
         # Model params and the (fixed) augmentation arrays are placed ONCE,
@@ -462,6 +480,9 @@ def main():
     if multi:
         ious = {f"{k}/c{cid}": [] for k in sr_types + ("standard",)
                 for cid in class_ids}
+        if use_label_map:
+            ious["label_map (mIoU)"] = []
+            ious["label_map_standard (mIoU)"] = []
     else:
         ious = {k: [] for k in sr_types + ("standard",)}
     start = time.time()
@@ -482,10 +503,16 @@ def main():
             _profiling[0] = False
             print(f"profiler trace written to {args.profile_dir}")
 
-    def emit(name, out_masks):
+    def emit(name, out_masks, lm_masks=None):
         """Encode + score host-side masks — runs on the writer pool.
         Multi-class results carry a leading class axis: one PNG (and one IoU
         series) per class, suffixed _c<id>."""
+        if lm_masks is not None:
+            save_img(os.path.join(args.output_dir, f"{name}_labelmap.png"),
+                     lm_masks[0], scale=False, compress_level=1)
+            save_img(os.path.join(args.output_dir,
+                                  f"{name}_labelmap_standard.png"),
+                     lm_masks[1], scale=False, compress_level=1)
         for k, mask in out_masks.items():
             if multi:
                 for j, cid in enumerate(class_ids):
@@ -508,6 +535,13 @@ def main():
                 else:
                     scores = {k: compute_iou(gt, mask, class_id=class_ids[0])
                               for k, mask in out_masks.items()}
+                if lm_masks is not None:
+                    from deeplabv3plus_augmented_superresolution_tpu.metrics \
+                        import mean_iou
+                    scores["label_map (mIoU)"] = float(
+                        mean_iou(gt, lm_masks[0]))
+                    scores["label_map_standard (mIoU)"] = float(
+                        mean_iou(gt, lm_masks[1]))
                 lock = writer.lock if writer else None
                 if lock:
                     lock.acquire()
@@ -520,12 +554,16 @@ def main():
 
     def emit_packed(names, packed):
         """One device->host fetch for the whole batch, then encode+score."""
-        arr = np.asarray(packed)            # (K, ...) or (K, B, ...)
+        cls_pack, lm_pack = packed
+        arr = np.asarray(cls_pack)          # (K, ...) or (K, B, ...)
+        lm = np.asarray(lm_pack) if lm_pack is not None else None
         if isinstance(names, str):
-            emit(names, {k: arr[j] for j, k in enumerate(out_keys)})
+            emit(names, {k: arr[j] for j, k in enumerate(out_keys)},
+                 lm_masks=lm)
         else:
             for i, name in enumerate(names):
-                emit(name, {k: arr[j][i] for j, k in enumerate(out_keys)})
+                emit(name, {k: arr[j][i] for j, k in enumerate(out_keys)},
+                     lm_masks=(lm[:, i] if lm is not None else None))
 
     def dispatch_emit(names, packed):
         if writer:
@@ -542,8 +580,10 @@ def main():
                 profile_steady(True)
             else:
                 n_done += len(names)  # steady-state counts post-compile work
-            dispatch_emit(names, out if len(names) == args.batch
-                          else out[:, :len(names)])
+            if len(names) != args.batch:  # ragged tail: drop padding images
+                out = (out[0][:, :len(names)],
+                       out[1][:, :len(names)] if out[1] is not None else None)
+            dispatch_emit(names, out)
         if writer:
             writer.close()  # drain: steady-state includes artifact writes
         profile_steady(False)

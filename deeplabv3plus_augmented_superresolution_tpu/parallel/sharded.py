@@ -55,6 +55,7 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                       sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
                       chunk_size: int = 0, gram_coeffs=None,
                       return_targets: bool = False,
+                      return_label_map: bool = False,
                       pack_uint8: bool = False):
     """Returns a jitted fn(params, images, angles, shifts) -> dict of masks.
 
@@ -88,7 +89,8 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                 return asr_step_multiclass(
                     params, image, a, s, model_cfg, sr_cfg, tuple(class_id),
                     mode, th_factor, True, sr_types, chunk_size,
-                    gram_coeffs=gram_coeffs, return_targets=return_targets)
+                    gram_coeffs=gram_coeffs, return_targets=return_targets,
+                    return_label_map=return_label_map)
             return asr_step(params, image, a, s, model_cfg, sr_cfg, one_class,
                             mode, th_factor, True, sr_types, chunk_size,
                             gram_coeffs=gram_coeffs,

@@ -121,7 +121,8 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_ids", "mode",
                                    "th_factor", "global_normalize", "sr_types",
-                                   "chunk_size", "return_targets"))
+                                   "chunk_size", "return_targets",
+                                   "return_label_map"))
 def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         shifts: jnp.ndarray, model_cfg: DeepLabConfig,
                         sr_cfg: SRConfig, class_ids: Tuple[int, ...],
@@ -131,7 +132,9 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         chunk_size: int = 0,
                         dropout_key: Optional[jax.Array] = None,
                         gram_coeffs: Optional[jnp.ndarray] = None,
-                        return_targets: bool = False) -> Dict[str, jnp.ndarray]:
+                        return_targets: bool = False,
+                        return_label_map: bool = False
+                        ) -> Dict[str, jnp.ndarray]:
     """Full ASR for one image over MANY classes in one program — the
     capability the reference explicitly lacks (single fixed class_id per run,
     reference README.md:5-6, which would need K separate staged runs).
@@ -148,6 +151,12 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
     (K, H, W, 1) float32 with values {0, class_ids[k]} in slice k, ordered as
     class_ids. Per-class slices match asr_step(class_id=class_ids[k], ...)
     exactly (tests/test_multiclass.py).
+
+    return_label_map: also emit 'label_map' — a single (H, W, 1) full-scene
+    HR segmentation combining the per-class aug-SR targets (best-scoring
+    class above threshold per pixel, else background) — plus
+    'label_map_standard', the plain model's upsampled argmax labels, for
+    side-by-side mean-IoU scoring. Requires "aug" in sr_types.
     """
     num_aug = sr_cfg.num_aug
     if model_cfg.compute_dtype == "bfloat16":
@@ -200,11 +209,13 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
             targets["max"], targets["mean"] = (mx, mx_m), (mean, mean_m)
 
     results: Dict[str, jnp.ndarray] = {}
+    aug_targets = None
     for sr_type in sr_types:
         if sr_type in targets:
             target_class, target_max = targets[sr_type]
         else:  # "aug"
             target_class = vmap_aug(class_masks)
+            aug_targets = target_class
             target_max = (vmap_aug(max_masks)
                           if mode == "slice_max" and max_masks is not None
                           else None)
@@ -224,4 +235,22 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
     results["standard"] = jax.vmap(
         lambda c: jnp.where(standard == c, standard, 0).astype(jnp.float32)
     )(cls)
+
+    if return_label_map and aug_targets is not None:
+        # Full-scene HR segmentation from the per-class SR targets — a
+        # product the reference cannot emit at all (one class per run). Each
+        # class's target is normalized by its own peak (the same scale its
+        # threshold uses, sr/postprocess.py threshold_image), making scores
+        # comparable across classes; a pixel gets the best-scoring class
+        # that clears the threshold, else background (0). Where exactly one
+        # class's thresholded mask fires, the label map agrees with it by
+        # construction (tests/test_multiclass.py).
+        score = aug_targets / jnp.maximum(
+            aug_targets.max(axis=(-3, -2, -1), keepdims=True), 1e-12)
+        best = jnp.argmax(score, axis=0)
+        best_score = jnp.max(score, axis=0)
+        label = jnp.where(best_score > th_factor,
+                          jnp.take(cls, best), 0)
+        results["label_map"] = label.astype(jnp.float32)
+        results["label_map_standard"] = standard.astype(jnp.float32)
     return results

@@ -110,10 +110,13 @@ def test_multiclass_sharded_batch_matches_single_device(setup):
     class_ids = (2, 9)
 
     fn = make_asr_batch_fn(mesh, cfg, sr_cfg, class_id=class_ids,
-                           mode="argmax", th_factor=0.2, sr_types=("aug",))
+                           mode="argmax", th_factor=0.2, sr_types=("aug",),
+                           return_label_map=True)
     p, im, a_, s_ = shard_batch(mesh, params, images, a, s)
     out = fn(p, im, a_, s_)
     assert out["aug"].shape == (batch, len(class_ids), 64, 64, 1)
+    assert out.pop("label_map").shape == (batch, 64, 64, 1)
+    assert out.pop("label_map_standard").shape == (batch, 64, 64, 1)
 
     # padded-aug cfg must match what the mesh program ran (8 copies / 4
     # shards divide evenly here, so cfg is unchanged)
@@ -145,3 +148,32 @@ def test_multiclass_shares_one_gram_stencil(setup):
         np.testing.assert_allclose(np.asarray(multi["aug_target"][k]),
                                    np.asarray(single["aug_target"]),
                                    atol=1e-5)
+
+
+def test_label_map_consistent_with_per_class_masks(setup):
+    """'label_map' (full-scene HR segmentation, a product the reference
+    cannot emit) must agree with the per-class thresholded masks: where
+    exactly one class's mask fires, the label map carries that class; where
+    none fires, background."""
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    class_ids = (2, 9, 14)
+    out = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                              class_ids=class_ids, mode="argmax",
+                              th_factor=0.2, sr_types=("aug",),
+                              return_label_map=True)
+    assert out["label_map"].shape == (64, 64, 1)
+    assert out["label_map_standard"].shape == (64, 64, 1)
+    label = np.asarray(out["label_map"])[..., 0]
+    masks = np.asarray(out["aug"])[..., 0]  # (K, H, W), values {0, cid}
+    fired = (masks > 0).sum(axis=0)
+    # exactly-one-class pixels: label equals that class
+    one = fired == 1
+    if one.any():
+        winner = masks.max(axis=0)  # the single firing class's id
+        np.testing.assert_array_equal(label[one], winner[one])
+    # no-class pixels: background
+    none = fired == 0
+    if none.any():
+        assert (label[none] == 0).all()
+    # label values restricted to {0} | class_ids
+    assert set(np.unique(label)) <= {0.0} | {float(c) for c in class_ids}
