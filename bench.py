@@ -101,6 +101,10 @@ def main():
     # K=1 on one v5e chip (NOTES.md "Multi-class ASR"): 30 ms marginal per
     # class; the reference would run K full staged pipelines.
     n_classes = max(int(os.environ.get("BENCH_CLASSES", 1)), 1)
+    # BENCH_CLASS_CHUNK: class-group size for the multiclass per-class
+    # solves/warps (lax.map) — bounds the memory peak; batch=4 x 20 classes
+    # compile-OOMs unchunked (31.6G vs 15.75G HBM) and needs ~5.
+    class_chunk = int(os.environ.get("BENCH_CLASS_CHUNK", 0))
     if fast:
         num_iter = min(num_iter, 60)
         sgd_copies = sgd_copies or 25
@@ -154,6 +158,7 @@ def main():
             return asr_step_multiclass(params, im, a, s, model_cfg, sr_cfg,
                                        class_ids=class_ids, mode="argmax",
                                        th_factor=0.2, chunk_size=chunk,
+                                       class_chunk=class_chunk,
                                        gram_coeffs=gram_coeffs)
         return asr_step(params, im, a, s, model_cfg, sr_cfg,
                         class_id=8, mode="argmax", th_factor=0.2,

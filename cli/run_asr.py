@@ -66,6 +66,13 @@ parser.add_argument("--chunk_size", type=int, default=0,
                     help="run the model forward in copy chunks to cut the "
                          "activation peak (batch 8 needs chunk 25 on one "
                          "v5e chip; 0 = single forward)")
+parser.add_argument("--class_chunk", type=int, default=0,
+                    help="multi-class only: run the per-class solves + "
+                         "max/mean warps in class groups of this size "
+                         "(lax.map) to cut the memory peak. batch=4 x 20 "
+                         "classes needs ~5 on one v5e chip (compile-OOMs "
+                         "unchunked); 0 = all classes at once. Results are "
+                         "identical")
 parser.add_argument("--writer_threads", type=int, default=4,
                     help="artifact-writer pool size (device->host mask fetch "
                          "+ PNG encode + IoU scoring overlapped with device "
@@ -254,6 +261,7 @@ def main():
                 params, image, angles, shifts, model_cfg, sr_cfg,
                 class_ids=class_ids, mode=args.mode, th_factor=args.th_factor,
                 sr_types=sr_types, chunk_size=args.chunk_size,
+                class_chunk=args.class_chunk,
                 gram_coeffs=gram_coeffs, return_label_map=use_label_map)
         else:
             out = asr_step(params, image, angles, shifts, model_cfg, sr_cfg,
@@ -357,7 +365,9 @@ def main():
                         p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
                         class_ids=class_ids, mode=args.mode,
                         th_factor=args.th_factor, sr_types=sr_types,
-                        chunk_size=args.chunk_size, gram_coeffs=gram_coeffs,
+                        chunk_size=args.chunk_size,
+                        class_chunk=args.class_chunk,
+                        gram_coeffs=gram_coeffs,
                         return_label_map=use_label_map)
                 return asr_step(
                     p, i_, angles_s, shifts_s, model_cfg, sr_cfg,
@@ -384,6 +394,7 @@ def main():
                                          th_factor=args.th_factor,
                                          sr_types=sr_types,
                                          chunk_size=args.chunk_size,
+                                         class_chunk=args.class_chunk,
                                          gram_coeffs=gram_coeffs,
                                          return_label_map=use_label_map,
                                          pack_uint8=True)

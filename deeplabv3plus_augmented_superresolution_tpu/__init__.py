@@ -19,3 +19,47 @@ Design differences vs the reference (TF2 + tensorflow-addons, single GPU):
 """
 
 __version__ = "0.1.0"
+
+
+def _guard_xla_cpu_fusion_emitters():
+    """Disable XLA:CPU's fusion emitters before the CPU backend initializes.
+
+    Measured miscompile (jaxlib in this image, diagnosed by flag bisection;
+    NOTES.md "XLA:CPU fusion-emitter miscompile"): when a reduction consumes
+    the 3-pass shear warp inside one jit program, one copy's boundary row is
+    silently zero-filled — max error 0.36 on a [0,1] image, deterministic
+    per program, insensitive to optimization_barrier / while_loop
+    materialization, and healed only by exposing the warped stack as a
+    program output or by --xla_cpu_use_fusion_emitters=false. The TPU
+    backend is unaffected (verified against an eager/scipy referee). The
+    flag only alters the CPU client, so setting it unconditionally is safe
+    for TPU runs; if the backend is already live we warn instead of lying.
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_use_fusion_emitters" in flags:
+        return
+    initialized = False
+    try:
+        from jax._src import xla_bridge as _xb
+
+        initialized = bool(getattr(_xb, "_backends", None))
+    except Exception:
+        pass
+    if initialized:
+        import warnings
+
+        warnings.warn(
+            "deeplabv3plus_augmented_superresolution_tpu: the JAX backend "
+            "was initialized before this package could set "
+            "--xla_cpu_use_fusion_emitters=false. On XLA:CPU the fusion "
+            "emitters miscompile the shear warp under reductions (see "
+            "NOTES.md); set the flag in XLA_FLAGS yourself for CPU runs.")
+        return
+    os.environ["XLA_FLAGS"] = (flags +
+                               " --xla_cpu_use_fusion_emitters=false").strip()
+
+
+_guard_xla_cpu_fusion_emitters()
+del _guard_xla_cpu_fusion_emitters

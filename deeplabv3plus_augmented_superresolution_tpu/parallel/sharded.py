@@ -53,7 +53,8 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                       class_id, mode: str = "argmax",
                       th_factor: float = 0.15,
                       sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
-                      chunk_size: int = 0, gram_coeffs=None,
+                      chunk_size: int = 0, class_chunk: int = 0,
+                      gram_coeffs=None,
                       return_targets: bool = False,
                       return_label_map: bool = False,
                       pack_uint8: bool = False):
@@ -88,7 +89,7 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
             if multiclass:
                 return asr_step_multiclass(
                     params, image, a, s, model_cfg, sr_cfg, tuple(class_id),
-                    mode, th_factor, True, sr_types, chunk_size,
+                    mode, th_factor, True, sr_types, chunk_size, class_chunk,
                     gram_coeffs=gram_coeffs, return_targets=return_targets,
                     return_label_map=return_label_map)
             return asr_step(params, image, a, s, model_cfg, sr_cfg, one_class,

@@ -119,10 +119,29 @@ def asr_step(params, image: jnp.ndarray, angles: jnp.ndarray,
     return results
 
 
+def _map_class_chunks(fn, arrays, n_classes: int, chunk: int):
+    """Run `fn` over `chunk`-class groups sequentially (lax.map) instead of
+    all K classes at once, bounding the per-class solve/warp memory peak to
+    chunk/K of the full program. `arrays` lead with the class axis; `fn` gets
+    the chunk-sliced tuple and returns a pytree with a leading class axis.
+    Ragged K pads by repeating the last class, sliced off after (identical
+    results, tests/test_multiclass.py)."""
+    pad = (-n_classes) % chunk
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        return a.reshape((a.shape[0] // chunk, chunk) + a.shape[1:])
+
+    out = jax.lax.map(fn, tuple(prep(a) for a in arrays))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((-1,) + o.shape[2:])[:n_classes], out)
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_ids", "mode",
                                    "th_factor", "global_normalize", "sr_types",
-                                   "chunk_size", "return_targets",
-                                   "return_label_map"))
+                                   "chunk_size", "class_chunk",
+                                   "return_targets", "return_label_map"))
 def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         shifts: jnp.ndarray, model_cfg: DeepLabConfig,
                         sr_cfg: SRConfig, class_ids: Tuple[int, ...],
@@ -130,6 +149,7 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         global_normalize: bool = True,
                         sr_types: Tuple[str, ...] = ("aug", "max", "mean"),
                         chunk_size: int = 0,
+                        class_chunk: int = 0,
                         dropout_key: Optional[jax.Array] = None,
                         gram_coeffs: Optional[jnp.ndarray] = None,
                         return_targets: bool = False,
@@ -157,6 +177,13 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
     class above threshold per pixel, else background) — plus
     'label_map_standard', the plain model's upsampled argmax labels, for
     side-by-side mean-IoU scoring. Requires "aug" in sr_types.
+
+    class_chunk: process classes in groups of this size (lax.map) instead of
+    all K at once. The per-class b = A^T y warps and the flat K*num_aug
+    max/mean inverse-warp stack dominate the program's memory at large K;
+    chunking bounds that peak to ~class_chunk/K of the full vmap (needed for
+    batched 20-class serving: batch=4 x 20 classes compile-OOMs unchunked at
+    31.6 GB vs 15.75 GB HBM on one v5e chip). Results are identical.
     """
     num_aug = sr_cfg.num_aug
     if model_cfg.compute_dtype == "bfloat16":
@@ -186,6 +213,9 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
     keys = (jax.random.split(dropout_key, len(class_ids))
             if dropout_key is not None else None)
 
+    k_cls = len(class_ids)
+    chunked = 0 < class_chunk < k_cls
+
     def solve_aug(masks, key):
         return augmented_superresolution(masks, angles, shifts, sr_cfg,
                                          dropout_key=key,
@@ -193,19 +223,33 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
 
     def vmap_aug(masks):
         if keys is None:
-            return jax.vmap(lambda m: solve_aug(m, None))(masks)
-        return jax.vmap(solve_aug)(masks, keys)
+            run = jax.vmap(lambda m: solve_aug(m, None))
+            if chunked:
+                return _map_class_chunks(lambda a: run(a[0]), (masks,),
+                                         k_cls, class_chunk)
+            return run(masks)
+        run = jax.vmap(solve_aug)
+        if chunked:
+            return _map_class_chunks(lambda a: run(*a), (masks, keys),
+                                     k_cls, class_chunk)
+        return run(masks, keys)
+
+    def run_max_mean(masks):
+        mm = lambda m: multiclass_max_mean_superresolution(m, angles, shifts,
+                                                           sr_cfg)
+        if chunked:
+            return _map_class_chunks(lambda a: mm(a[0]), (masks,),
+                                     k_cls, class_chunk)
+        return mm(masks)
 
     # max/mean share ONE flat inverse-warp stack across classes AND both
     # reductions (the shear warp wants a flat 4-D batch; vmap would loop it).
     targets: Dict[str, Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = {}
     if "max" in sr_types or "mean" in sr_types:
-        mx, mean = multiclass_max_mean_superresolution(class_masks, angles,
-                                                       shifts, sr_cfg)
+        mx, mean = run_max_mean(class_masks)
         targets["max"], targets["mean"] = (mx, None), (mean, None)
         if mode == "slice_max" and max_masks is not None:
-            mx_m, mean_m = multiclass_max_mean_superresolution(
-                max_masks, angles, shifts, sr_cfg)
+            mx_m, mean_m = run_max_mean(max_masks)
             targets["max"], targets["mean"] = (mx, mx_m), (mean, mean_m)
 
     results: Dict[str, jnp.ndarray] = {}

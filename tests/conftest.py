@@ -12,9 +12,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's fusion emitters MISCOMPILE the 3-pass shear warp when a reduction
+# consumes it (one copy's boundary row zero-fills; max err 0.36 on a 0..1
+# image, deterministic, survives optimization_barrier / while_loop baffles;
+# TPU is unaffected). Diagnosed by flag bisection; the package __init__ sets
+# the same guard. See NOTES.md "XLA:CPU fusion-emitter miscompile" and
+# tests/test_xla_cpu_guard.py.
+if "xla_cpu_use_fusion_emitters" not in flags:
+    flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -177,3 +177,42 @@ def test_label_map_consistent_with_per_class_masks(setup):
         assert (label[none] == 0).all()
     # label values restricted to {0} | class_ids
     assert set(np.unique(label)) <= {0.0} | {float(c) for c in class_ids}
+
+
+@pytest.mark.parametrize("mode,class_chunk", [("argmax", 2), ("slice_max", 1)])
+def test_class_chunked_matches_unchunked(setup, mode, class_chunk):
+    """class_chunk (the memory knob that makes batched 20-class serving fit
+    in HBM) must not change any output — including the ragged case where
+    chunk does not divide K (K=3, chunk=2 pads by repeating the last class
+    and slices it off)."""
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    class_ids = (2, 9, 14)
+    kwargs = dict(class_ids=class_ids, mode=mode, th_factor=0.2,
+                  return_targets=True, return_label_map=(mode == "argmax"))
+    want = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                               **kwargs)
+    got = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                              class_chunk=class_chunk, **kwargs)
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]), atol=1e-5,
+                                   err_msg=key)
+
+
+def test_class_chunked_with_dropout_keys(setup):
+    """Per-class dropout keys ride the chunked lax.map unchanged: the chunked
+    program must draw the same per-class masks (same split keys) as the
+    vmapped one."""
+    import dataclasses
+    cfg, params, sr_cfg, image, angles, shifts = setup
+    sr_cfg = dataclasses.replace(sr_cfg, copy_dropout=0.34)
+    key = jax.random.key(42)
+    kwargs = dict(class_ids=(2, 9, 14), mode="argmax", th_factor=0.2,
+                  sr_types=("aug",), return_targets=True, dropout_key=key)
+    want = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                               **kwargs)
+    got = asr_step_multiclass(params, image, angles, shifts, cfg, sr_cfg,
+                              class_chunk=2, **kwargs)
+    np.testing.assert_allclose(np.asarray(got["aug_target"]),
+                               np.asarray(want["aug_target"]), atol=1e-5)
