@@ -70,3 +70,44 @@ def test_warp_under_reduction_matches_eager_truth():
                                up_truth.max(axis=0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mean, np.float64),
                                up_truth.mean(axis=0), atol=1e-5)
+
+
+def test_full_asr_step_jit_matches_eager():
+    """Whole-program canary: the fully-fused asr_step program must agree
+    with per-op (eager) execution of the same function. A backend miscompile
+    anywhere in the fused pipeline (warp, forward, OPM, solve, reductions,
+    threshold) shows up here as a gross mismatch; ulp-level reassociation
+    drift does not (atol covers it). This is the test that would have caught
+    the fusion-emitter bug at the product level."""
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig,
+        build_model,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import asr_step
+
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), backbone="mobilenet",
+                        final_upsample=False)
+    params, _ = build_model(cfg, seed=0)
+    sr_cfg = SRConfig(num_iter=3, num_aug=5, feature_size=(8, 8),
+                      output_size=(64, 64), angle_max=0.25,
+                      optimizer=OptimizerConfig(learning_rate=1e-2))
+    angles, shifts = sample_augmentations(jax.random.key(2), 5, 0.2, 5.0)
+    rng = np.random.default_rng(9)
+    image = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+
+    kwargs = dict(class_id=8, mode="argmax", th_factor=0.2,
+                  return_targets=True)
+    jit_out = asr_step(params, image, angles, shifts, cfg, sr_cfg, **kwargs)
+    eager_out = asr_step.__wrapped__(params, image, angles, shifts, cfg,
+                                     sr_cfg, **kwargs)
+    assert set(jit_out) == set(eager_out)
+    for k in eager_out:
+        got = np.asarray(jit_out[k], np.float64)
+        want = np.asarray(eager_out[k], np.float64)
+        if k.endswith("_target") or k == "standard":
+            np.testing.assert_allclose(got, want, atol=1e-4, err_msg=k)
+        else:
+            # binarized masks: ulp-level solver drift may flip an isolated
+            # threshold-marginal pixel; a miscompile flips whole rows
+            disagree = np.mean(got != want)
+            assert disagree < 0.002, (k, disagree)
