@@ -12,6 +12,17 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+__all__ = [
+    "IGNORE_LABEL",
+    "NUM_CLASSES",
+    "compute_iou",
+    "mean_iou",
+    "single_class_iou",
+    "sparse_accuracy_ignoring_last_label",
+    "sparse_crossentropy_ignoring_last_label",
+    "sparse_mean_iou",
+]
+
 NUM_CLASSES = 21
 IGNORE_LABEL = 255
 
