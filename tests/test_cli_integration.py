@@ -39,6 +39,24 @@ def fake_voc(tmp_path_factory):
     return root
 
 
+# The axon sitecustomize re-exports JAX_PLATFORMS=axon at interpreter start,
+# clobbering the env var we pass the child — a plain `JAX_PLATFORMS=cpu
+# python cli/x.py` subprocess then initializes the TPU backend anyway and
+# HANGS whenever the tunneled chip is unhealthy (observed: >40 min outages).
+# jax.config.update after import is the reliable override (same recipe as
+# tests/conftest.py and __graft_entry__), so run each CLI through a tiny
+# bootstrap that pins the platform and then executes the script unchanged.
+_CPU_BOOTSTRAP = (
+    "import sys, runpy\n"
+    "import jax\n"
+    "jax.config.update('jax_platforms', 'cpu')\n"
+    "script = sys.argv[1]\n"
+    "sys.argv = sys.argv[1:]\n"
+    "sys.path.insert(0, '{cli}')\n"
+    "runpy.run_path(script, run_name='__main__')\n"
+).format(cli=CLI.replace("\\", "\\\\"))
+
+
 def _run(workdir, script, *args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -47,7 +65,8 @@ def _run(workdir, script, *args):
     # minutes on a single-core host and stretch further under suite-wide CPU
     # contention (the whole test file shares the box with other workers).
     result = subprocess.run(
-        [sys.executable, os.path.join(CLI, script), *args],
+        [sys.executable, "-c", _CPU_BOOTSTRAP,
+         os.path.join(CLI, script), *args],
         cwd=str(workdir), env=env, capture_output=True, text=True,
         timeout=2400)
     assert result.returncode == 0, \
