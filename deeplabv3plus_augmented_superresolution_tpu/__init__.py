@@ -40,11 +40,27 @@ def _guard_xla_cpu_fusion_emitters():
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_cpu_use_fusion_emitters" in flags:
         return
+    # An UNKNOWN flag in XLA_FLAGS is a fatal parse error at backend init, so
+    # only apply the guard on jaxlibs where the flag is known to exist (this
+    # image ships 0.9.0; fusion emitters and their flag are older than that).
+    # A future jaxlib that RETIRES the flag keeps parsing it with a warning
+    # (observed with xla_cpu_use_thunk_runtime), so no upper bound is needed.
+    try:
+        import jaxlib
+
+        version = tuple(int(p) for p in jaxlib.__version__.split(".")[:2])
+    except Exception:
+        return
+    if version < (0, 5):
+        return
     initialized = False
     try:
         from jax._src import xla_bridge as _xb
 
-        initialized = bool(getattr(_xb, "_backends", None))
+        if hasattr(_xb, "backends_are_initialized"):
+            initialized = bool(_xb.backends_are_initialized())
+        else:
+            initialized = bool(getattr(_xb, "_backends", None))
     except Exception:
         pass
     if initialized:

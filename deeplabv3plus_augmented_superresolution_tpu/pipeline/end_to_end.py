@@ -216,6 +216,13 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
     k_cls = len(class_ids)
     chunked = 0 < class_chunk < k_cls
 
+    def maybe_chunked(run, *arrays):
+        """run(*arrays) over all K classes, or in class_chunk groups."""
+        if chunked:
+            return _map_class_chunks(lambda a: run(*a), arrays,
+                                     k_cls, class_chunk)
+        return run(*arrays)
+
     def solve_aug(masks, key):
         return augmented_superresolution(masks, angles, shifts, sr_cfg,
                                          dropout_key=key,
@@ -223,24 +230,14 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
 
     def vmap_aug(masks):
         if keys is None:
-            run = jax.vmap(lambda m: solve_aug(m, None))
-            if chunked:
-                return _map_class_chunks(lambda a: run(a[0]), (masks,),
-                                         k_cls, class_chunk)
-            return run(masks)
-        run = jax.vmap(solve_aug)
-        if chunked:
-            return _map_class_chunks(lambda a: run(*a), (masks, keys),
-                                     k_cls, class_chunk)
-        return run(masks, keys)
+            return maybe_chunked(jax.vmap(lambda m: solve_aug(m, None)),
+                                 masks)
+        return maybe_chunked(jax.vmap(solve_aug), masks, keys)
 
     def run_max_mean(masks):
-        mm = lambda m: multiclass_max_mean_superresolution(m, angles, shifts,
-                                                           sr_cfg)
-        if chunked:
-            return _map_class_chunks(lambda a: mm(a[0]), (masks,),
-                                     k_cls, class_chunk)
-        return mm(masks)
+        return maybe_chunked(
+            lambda m: multiclass_max_mean_superresolution(m, angles, shifts,
+                                                          sr_cfg), masks)
 
     # max/mean share ONE flat inverse-warp stack across classes AND both
     # reductions (the shear warp wants a flat 4-D batch; vmap would loop it).
