@@ -5,6 +5,7 @@ from .io import (
     save_img,
     write_augmented_hdf5,
 )
+from .synthetic import synthetic_batch, synthetic_scene
 from .paths import (
     augmented_copies_dir,
     class_in_image,
@@ -26,4 +27,6 @@ __all__ = [
     "get_img_paths",
     "list_precomputed_data_paths",
     "standard_output_dir",
+    "synthetic_batch",
+    "synthetic_scene",
 ]

@@ -1,4 +1,10 @@
 from .deeplab import DeepLabConfig, build_model, forward, init_params, head_layer_name
+from .train import (
+    forward_train,
+    make_train_step,
+    segmentation_loss,
+    update_bn_stats,
+)
 from .weights import (
     default_weights_path,
     load_keras_h5_weights,
@@ -11,8 +17,12 @@ __all__ = [
     "DeepLabConfig",
     "build_model",
     "forward",
+    "forward_train",
     "init_params",
     "head_layer_name",
+    "make_train_step",
+    "segmentation_loss",
+    "update_bn_stats",
     "default_weights_path",
     "load_keras_h5_weights",
     "load_params_npz",

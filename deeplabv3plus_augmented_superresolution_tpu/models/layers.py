@@ -31,10 +31,19 @@ class ParamStore:
     apply mode: layer calls read existing params; unknown names raise.
     """
 
-    def __init__(self, params: Optional[Params] = None, seed: int = 0):
+    def __init__(self, params: Optional[Params] = None, seed: int = 0,
+                 bn_mode: str = "inference"):
         self.building = params is None
         self.params: Params = {} if params is None else params
         self._rng = np.random.default_rng(seed)
+        # "inference": BN folds the stored moving stats to one scale/shift.
+        # "batch": BN normalizes with the current batch's statistics and
+        # records them in bn_batch_stats (layer -> (mean, var)) so a train
+        # step can EMA-update the moving stats functionally (models/train.py).
+        if bn_mode not in ("inference", "batch"):
+            raise ValueError(bn_mode)
+        self.bn_mode = bn_mode
+        self.bn_batch_stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
 
     def _glorot(self, shape):
         fan_in = np.prod(shape[:-1])
@@ -118,6 +127,18 @@ def batch_norm(store: ParamStore, name: str, x: jnp.ndarray,
     beta = store.get(name, "beta", (ch,), init="zeros")
     mean = store.get(name, "moving_mean", (ch,), init="zeros")
     var = store.get(name, "moving_variance", (ch,), init="ones")
+    if getattr(store, "bn_mode", "inference") == "batch":
+        # Training mode: normalize with the current batch's statistics over
+        # (N, H, W) and record them for the EMA moving-stat update
+        # (models/train.py). Stats in f32 regardless of compute dtype.
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        b_mean = jnp.mean(xf, axis=axes)
+        b_var = jnp.var(xf, axis=axes)
+        store.bn_batch_stats[name] = (b_mean, b_var)
+        scale = jnp.asarray(gamma, jnp.float32) / jnp.sqrt(b_var + epsilon)
+        shift = jnp.asarray(beta, jnp.float32) - b_mean * scale
+        return (xf * scale + shift).astype(x.dtype)
     # Inference-only BN, folded to scale/shift in f32 (precision-sensitive
     # when the forward runs in bf16).
     scale = (gamma / jnp.sqrt(var + epsilon)).astype(jnp.float32)

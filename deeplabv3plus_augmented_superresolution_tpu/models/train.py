@@ -1,0 +1,116 @@
+"""Training support for the DeepLabV3+ model.
+
+The reference ships training-era losses/metrics it never calls
+(reference utils.py:41-91: ``sparse_crossentropy_ignoring_last_label`` and
+friends) because its thesis workflow downloads pretrained weights. This
+module is their *working* TPU-native counterpart: a jit-compiled train step
+(bf16 forward on the MXU, f32 loss/grads, optax updates, functional
+batch-norm moving-stat EMA) over the same Keras-named param pytree the
+pretrained loader fills.
+
+Why it exists in this framework: the container has no egress, so the bonlime
+checkpoint the reference downloads (reference model.py:129-145) cannot be
+fetched — and without real weights every quality claim would rest on
+synthetic recovery tests. ``scripts/quality_demo.py`` uses this module to
+train the real architecture from scratch on an in-memory synthetic shapes
+dataset (data/synthetic.py) and then runs the full 512-px ASR pipeline on a
+held-out set, reproducing the reference's headline comparison (ASR IoU vs
+the standard upsampled-argmax baseline, BASELINE.md row 1) end to end with a
+genuinely trained model.
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .deeplab import DeepLabConfig, _forward
+from .layers import ParamStore, Params
+
+BNStats = Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def forward_train(params: Params, images: jnp.ndarray,
+                  cfg: DeepLabConfig) -> Tuple[jnp.ndarray, BNStats]:
+    """Forward pass with batch-statistics BatchNorm.
+
+    Returns (logits, bn_batch_stats) where bn_batch_stats maps BN layer name
+    -> (batch_mean, batch_var); feed it to :func:`update_bn_stats` to advance
+    the moving statistics the inference-mode forward consumes.
+    """
+    store = ParamStore(params, bn_mode="batch")
+    logits = _forward(store, images, cfg)
+    return logits, store.bn_batch_stats
+
+
+def update_bn_stats(params: Params, stats: BNStats,
+                    momentum: float = 0.9) -> Params:
+    """EMA update of BN moving statistics (Keras semantics:
+    new = momentum * old + (1 - momentum) * batch)."""
+    out = dict(params)
+    for name, (b_mean, b_var) in stats.items():
+        entry = dict(out[name])
+        entry["moving_mean"] = (momentum * jnp.asarray(entry["moving_mean"])
+                                + (1.0 - momentum) * b_mean)
+        entry["moving_variance"] = (
+            momentum * jnp.asarray(entry["moving_variance"])
+            + (1.0 - momentum) * b_var)
+        out[name] = entry
+    return out
+
+
+def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy over pixels whose label != 255.
+
+    Same per-pixel semantics as the reference's (unused) training loss,
+    available verbatim as metrics.sparse_crossentropy_ignoring_last_label
+    (reference utils.py:41-46: void pixels contribute zero loss); here the
+    mean runs over VALID pixels only, so void contours don't dilute the
+    gradient signal.
+
+    logits: (..., H, W, C) f32; labels: (..., H, W) integer in [0, C) or 255.
+    """
+    labels = labels.astype(jnp.int32)
+    valid = labels != 255
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
+                     bn_momentum: float = 0.9):
+    """The unjitted train step: step(params, opt_state, images, labels) ->
+    (params, opt_state, loss). make_train_step jits it for one device;
+    parallel.make_sharded_train_step jits the SAME function with mesh
+    shardings (GSPMD turns the batch-axis reductions into collectives)."""
+
+    def step(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits, stats = forward_train(p, images, cfg)
+            if not cfg.final_upsample and logits.shape[1:3] != labels.shape[1:3]:
+                raise ValueError("labels must match the logits resolution; "
+                                 "train with final_upsample=True or resize")
+            return segmentation_loss(logits, labels), stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = update_bn_stats(params, stats, momentum=bn_momentum)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
+                    bn_momentum: float = 0.9):
+    """Build a jitted segmentation train step.
+
+    step(params, opt_state, images, labels) -> (params, opt_state, loss)
+    with images (B, H, W, 3) f32 in [0, 1] and labels (B, H, W) int
+    (255 = ignore). BN moving stats ride along via EMA of the batch stats, so
+    the returned params are directly usable by the inference-mode forward.
+    """
+    return jax.jit(build_train_step(cfg, tx, bn_momentum))

@@ -10,10 +10,12 @@ from .mesh import (
 )
 from .sharded import (
     make_asr_batch_fn,
+    make_sharded_train_step,
     padded_aug_count,
     padded_sr_cfg,
     shard_batch,
     shard_batch_multihost,
+    shard_train_batch,
 )
 
 __all__ = [
@@ -26,8 +28,10 @@ __all__ = [
     "multihost_mesh_shape",
     "replicated",
     "make_asr_batch_fn",
+    "make_sharded_train_step",
     "padded_aug_count",
     "padded_sr_cfg",
     "shard_batch",
     "shard_batch_multihost",
+    "shard_train_batch",
 ]

@@ -118,6 +118,46 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
                    out_shardings=out_shardings)
 
 
+def make_sharded_train_step(mesh: Mesh, model_cfg: DeepLabConfig, tx,
+                            bn_momentum: float = 0.9):
+    """Data-parallel train step over the whole mesh (models/train.py jitted
+    with mesh shardings).
+
+    Training has no copy dimension, so BOTH mesh axes act as data axes: the
+    global batch shards across every device (batch size must divide the
+    device count evenly — see shard_train_batch), params and optimizer state
+    stay replicated. No hand-written collectives: the loss mean runs over
+    the globally sharded batch under GSPMD, so XLA inserts the gradient
+    all-reduce, and BatchNorm's batch statistics (mean/var over (N, H, W) of
+    the sharded batch, models/layers.py batch mode) become *synchronized*
+    BatchNorm for free — per-device stats would silently diverge at small
+    per-device batches.
+
+    Returns jitted step(params, opt_state, images, labels) ->
+    (params, opt_state, loss); params/opt_state donated.
+    """
+    from ..models.train import build_train_step
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return jax.jit(build_train_step(model_cfg, tx, bn_momentum),
+                   in_shardings=(repl, repl, batch, batch),
+                   out_shardings=(repl, repl, repl),
+                   donate_argnums=(0, 1))
+
+
+def shard_train_batch(mesh: Mesh, images, labels):
+    """Device-put a (B, H, W, 3)/(B, H, W) training batch sharded over all
+    mesh devices. B must be a multiple of the device count (raise early with
+    a clear message instead of GSPMD's shape error)."""
+    n = mesh.size
+    if images.shape[0] % n:
+        raise ValueError(f"global batch {images.shape[0]} not divisible by "
+                         f"the {n}-device mesh")
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return jax.device_put(images, sh), jax.device_put(labels, sh)
+
+
 def shard_batch_multihost(mesh: Mesh, params, images, angles, shifts):
     """Per-PROCESS local batch slices -> global sharded arrays.
 

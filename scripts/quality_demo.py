@@ -1,0 +1,274 @@
+"""End-to-end quality demonstration WITHOUT the pretrained checkpoint.
+
+The reference's quality evidence (BASELINE.md row 1: ASR IoU 0.6841 vs
+standard 0.6751 on VOC) needs the downloaded bonlime weights — unavailable
+in this zero-egress container. This script produces the same *kind* of
+evidence with what the container has:
+
+  1. train the real DeepLabV3+ architecture from scratch (models/train.py)
+     on procedurally generated scenes (data/synthetic.py),
+  2. run the full production ASR pipeline (512 px, 100 copies, argmax OPM,
+     300-iteration aug SR + max/mean SR + standard mask, pipeline.asr_step)
+     on a held-out set with the trained weights,
+  3. report the reference's headline comparison — mean IoU of aug/max/mean
+     SR vs the standard upsampled-argmax baseline (reference
+     SR_single_class.py:109-141 computes the same 6 IoU variants).
+
+Per-image TTA sets are redrawn like the reference's staged workflow
+(reference augmentation_utils.py:14-15); pass --serving for the fixed-TTA
+serving mode instead. Results print as a table and are written as JSON.
+
+Usage (one v5e chip, ~3-5 min):
+    python scripts/quality_demo.py
+Quick CPU variant (also run as the slow test in tests/test_training.py):
+    python scripts/quality_demo.py --quick
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("TPU_WORKER_ID", "0")
+
+
+def run_demo(backbone: str = "xception", size: int = 512,
+             train_steps: int = 400, train_batch: int = 8,
+             train_set: int = 128, lr: float = 1e-3, alpha: float = 1.0,
+             eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
+             class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
+             serving: bool = False, compute_dtype: str = "bfloat16",
+             save_dir: str = "", verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+        single_class_iou,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig,
+        init_params,
+        make_train_step,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        asr_step,
+        sample_augmentations,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        OptimizerConfig,
+        SRConfig,
+    )
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    rng = np.random.default_rng(seed)
+    class_ids = (class_id, 12 if class_id != 12 else 15)
+
+    # ---- 1. train ---------------------------------------------------------
+    train_cfg = DeepLabConfig(
+        input_shape=(size, size, 3), classes=21, backbone=backbone,
+        alpha=alpha, weights=None, final_upsample=True,
+        compute_dtype=compute_dtype)
+    params = init_params(train_cfg, seed=0)
+
+    log(f"[quality_demo] generating {train_set} training scenes @ {size}px")
+    imgs, labs = synthetic_batch(rng, train_set, size=(size, size),
+                                 class_ids=class_ids)
+    # One upload of the whole quantized training set; batches are sampled
+    # on-device (per-step host->device uploads would be tunnel-bound).
+    ds_img = jnp.asarray((imgs * 255).astype(np.uint8))
+    ds_lab = jnp.asarray(labs.astype(np.uint8))
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    step = make_train_step(train_cfg, tx, bn_momentum=0.9)
+
+    def train_chunk(params, opt_state, data_img, data_lab, keys):
+        def body(carry, key):
+            p, o = carry
+            idx = jax.random.randint(key, (train_batch,), 0,
+                                     data_img.shape[0])
+            im = data_img[idx].astype(jnp.float32) / 255.0
+            lb = data_lab[idx].astype(jnp.int32)
+            p, o, loss = step(p, o, im, lb)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
+    key = jax.random.key(seed)
+    chunk = 50
+    t0 = time.time()
+    all_losses = []
+    done = 0
+    while done < train_steps:
+        n = min(chunk, train_steps - done)
+        keys = jax.random.split(jax.random.fold_in(key, done), n)
+        params, opt_state, losses = train_chunk(params, opt_state,
+                                                ds_img, ds_lab, keys)
+        all_losses.extend(np.asarray(losses).tolist())
+        done += n
+        log(f"[quality_demo] step {done}/{train_steps} "
+            f"loss {all_losses[-1]:.4f}")
+    train_s = time.time() - t0
+    log(f"[quality_demo] trained {train_steps} steps in {train_s:.1f}s "
+        f"(loss {all_losses[0]:.3f} -> {all_losses[-1]:.4f})")
+
+    # ---- 2. evaluate the full ASR pipeline --------------------------------
+    feat = size // (4 if backbone == "xception" else 8)
+    model_cfg = dataclasses.replace(train_cfg, final_upsample=False)
+    sr_cfg = SRConfig(
+        lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
+        num_aug=num_aug, feature_size=(feat, feat), output_size=(size, size),
+        angle_max=0.16, solver_impl="gram",
+        optimizer=OptimizerConfig(learning_rate=1e-3, amsgrad=True,
+                                  lr_scheduler=True, decay_steps=60,
+                                  decay_rate=0.3))
+    shift_max = 80.0 * size / 512.0
+
+    eval_imgs, eval_labs = synthetic_batch(
+        rng, eval_images, size=(size, size), class_ids=class_ids,
+        require_class=class_id)
+
+    gram_coeffs = None
+    fixed = None
+    if serving:
+        from deeplabv3plus_augmented_superresolution_tpu.sr import (
+            precompute_gram_stencil,
+        )
+        fixed = sample_augmentations(jax.random.key(seed), num_aug, 0.15,
+                                     shift_max)
+        gram_coeffs = jax.jit(precompute_gram_stencil,
+                              static_argnames=("cfg",))(*fixed, sr_cfg)
+
+    arms = ("aug", "max", "mean", "standard")
+    ious = {a: [] for a in arms}
+    ious_bg = {a: [] for a in arms}
+    t0 = time.time()
+    for i in range(eval_images):
+        if fixed is not None:
+            angles, shifts = fixed
+        else:
+            angles, shifts = sample_augmentations(
+                jax.random.fold_in(jax.random.key(seed + 1), i),
+                num_aug, 0.15, shift_max)
+        out = asr_step(params, jnp.asarray(eval_imgs[i]), angles, shifts,
+                       model_cfg, sr_cfg, class_id=class_id, mode="argmax",
+                       th_factor=th_factor, gram_coeffs=gram_coeffs)
+        gt = eval_labs[i]
+        for a in arms:
+            ious[a].append(float(single_class_iou(gt, out[a], class_id)))
+            ious_bg[a].append(float(single_class_iou(gt, out[a], class_id,
+                                                     include_bg=True)))
+        if save_dir:
+            from deeplabv3plus_augmented_superresolution_tpu.data import (
+                save_img,
+            )
+            os.makedirs(save_dir, exist_ok=True)
+            save_img(os.path.join(save_dir, f"img_{i}.png"),
+                     np.asarray(eval_imgs[i]), scale=True)
+            for a in arms:
+                save_img(os.path.join(save_dir, f"img_{i}_{a}.png"),
+                         np.asarray(out[a]), scale=False)
+    eval_s = time.time() - t0
+
+    means = {a: float(np.mean(ious[a])) for a in arms}
+    means_bg = {a: float(np.mean(ious_bg[a])) for a in arms}
+    wins = float(np.mean([a >= s for a, s in zip(ious["aug"],
+                                                 ious["standard"])]))
+    result = {
+        "backbone": backbone, "size": size, "train_steps": train_steps,
+        "train_loss_final": all_losses[-1], "train_s": round(train_s, 1),
+        "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
+        "class_id": class_id, "th_factor": th_factor,
+        "serving": serving, "eval_s": round(eval_s, 1),
+        "iou": means, "iou_with_bg": means_bg,
+        "aug_minus_standard": round(means["aug"] - means["standard"], 4),
+        "aug_win_rate_vs_standard": wins,
+        "reference_published": {"aug": 0.6841, "standard": 0.6751,
+                                "source": "BASELINE.md row 1 (VOC + bonlime "
+                                          "weights; different data, same "
+                                          "comparison)"},
+    }
+    log("\n[quality_demo] mean single-class IoU over "
+        f"{eval_images} held-out scenes (class {class_id}):")
+    log(f"  {'arm':10s} {'IoU':>8s} {'IoU+bg':>8s}")
+    for a in arms:
+        log(f"  {a:10s} {means[a]:8.4f} {means_bg[a]:8.4f}")
+    log(f"  aug - standard = {result['aug_minus_standard']:+.4f} "
+        f"(win rate {wins:.0%})")
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--backbone", default="xception",
+                    choices=["xception", "mobilenet"])
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--train_steps", type=int, default=400)
+    ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--train_set", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="mobilenet width multiplier")
+    ap.add_argument("--eval_images", type=int, default=20)
+    ap.add_argument("--num_aug", type=int, default=100)
+    ap.add_argument("--num_iter", type=int, default=300)
+    ap.add_argument("--class_id", type=int, default=8)
+    ap.add_argument("--th_factor", type=float, default=0.65)
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--serving", action="store_true",
+                    help="fixed TTA set + precomputed Gram stencil")
+    ap.add_argument("--quick", action="store_true",
+                    help="small CPU-friendly configuration")
+    ap.add_argument("--save_dir", default="",
+                    help="save eval images + masks as PNGs")
+    ap.add_argument("--out", default="quality_demo.json")
+    args = ap.parse_args()
+
+    kw = dict(backbone=args.backbone, size=args.size,
+              train_steps=args.train_steps, train_batch=args.train_batch,
+              train_set=args.train_set, lr=args.lr, alpha=args.alpha,
+              eval_images=args.eval_images, num_aug=args.num_aug,
+              num_iter=args.num_iter, class_id=args.class_id,
+              th_factor=args.th_factor, seed=args.seed,
+              serving=args.serving, save_dir=args.save_dir)
+    if args.quick:
+        # CPU-friendly configuration (also exercised by tests/test_training).
+        # The axon sitecustomize registers the TPU plugin at interpreter
+        # start, so pin the platform the way tests/conftest.py does.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        # lr 3e-3 / 300 steps: the model leaves the all-background basin
+        # around step 75 and reaches fg recall > 0.95 by 250 (measured at
+        # 64 px; 1e-3/120 steps never leaves it). alpha=0.35 — full-width
+        # mobilenet is ~4x the CPU compute for no extra signal at this size.
+        kw.update(backbone="mobilenet", size=96, train_steps=300,
+                  train_batch=4, train_set=32, lr=3e-3, alpha=0.35,
+                  eval_images=4, num_aug=16, num_iter=60,
+                  compute_dtype="float32")
+    result = run_demo(**kw)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: result[k] for k in
+                      ("iou", "aug_minus_standard",
+                       "aug_win_rate_vs_standard")}))
+
+
+if __name__ == "__main__":
+    main()

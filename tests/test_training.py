@@ -1,0 +1,217 @@
+"""Training support: batch-stats BN, train step, and the quality-demo loop.
+
+The reference never trains (its weights are downloaded pretrained, reference
+model.py:129-145) but ships training-era losses (reference utils.py:41-91);
+models/train.py makes them work. These tests pin the BN training semantics,
+that the train step actually learns, and (slow) that the trained model feeds
+the full ASR pipeline end to end — the in-container substitute for
+checkpoint-based quality parity (scripts/quality_demo.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+    synthetic_batch,
+    synthetic_scene,
+)
+from deeplabv3plus_augmented_superresolution_tpu.models import (
+    DeepLabConfig,
+    forward,
+    forward_train,
+    init_params,
+    make_train_step,
+    segmentation_loss,
+    update_bn_stats,
+)
+from deeplabv3plus_augmented_superresolution_tpu.models.layers import (
+    ParamStore,
+    batch_norm,
+)
+
+
+def test_batch_norm_batch_mode_normalizes_and_records_stats():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(3.0, 2.0, (4, 8, 8, 5)).astype(np.float32))
+    params = {"bn": {"gamma": np.ones(5, np.float32),
+                     "beta": np.zeros(5, np.float32),
+                     "moving_mean": np.full(5, 100.0, np.float32),
+                     "moving_variance": np.full(5, 100.0, np.float32)}}
+    store = ParamStore(params, bn_mode="batch")
+    y = batch_norm(store, "bn", x, epsilon=1e-5)
+    # Normalized with BATCH stats (the garbage moving stats are ignored).
+    np.testing.assert_allclose(np.mean(np.asarray(y), axis=(0, 1, 2)),
+                               0.0, atol=1e-5)
+    np.testing.assert_allclose(np.var(np.asarray(y), axis=(0, 1, 2)),
+                               1.0, atol=1e-3)
+    mean, var = store.bn_batch_stats["bn"]
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.mean(np.asarray(x), axis=(0, 1, 2)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.var(np.asarray(x), axis=(0, 1, 2)),
+                               rtol=1e-4)
+    # Inference mode still folds the stored moving stats.
+    store_inf = ParamStore(params)
+    y_inf = batch_norm(store_inf, "bn", x, epsilon=1e-5)
+    expect = (np.asarray(x) - 100.0) / np.sqrt(100.0 + 1e-5)
+    np.testing.assert_allclose(np.asarray(y_inf), expect, rtol=1e-4)
+
+
+def test_update_bn_stats_ema():
+    params = {"bn": {"gamma": np.ones(3, np.float32),
+                     "beta": np.zeros(3, np.float32),
+                     "moving_mean": np.zeros(3, np.float32),
+                     "moving_variance": np.ones(3, np.float32)}}
+    stats = {"bn": (jnp.full(3, 2.0), jnp.full(3, 5.0))}
+    out = update_bn_stats(params, stats, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(out["bn"]["moving_mean"]), 0.2,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["bn"]["moving_variance"]),
+                               0.9 + 0.5, rtol=1e-6)
+    # Input params untouched (functional update).
+    np.testing.assert_allclose(params["bn"]["moving_mean"], 0.0)
+
+
+def test_segmentation_loss_ignores_void():
+    logits = jnp.zeros((1, 2, 2, 4))
+    labels_all_void = jnp.full((1, 2, 2), 255)
+    assert float(segmentation_loss(logits, labels_all_void)) == 0.0
+    labels = jnp.array([[[0, 255], [255, 255]]])
+    # Uniform logits -> CE = log(4) on the single valid pixel.
+    np.testing.assert_allclose(float(segmentation_loss(logits, labels)),
+                               np.log(4.0), rtol=1e-6)
+
+
+def test_train_step_learns_and_bn_stats_move():
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), classes=21,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    mm0 = np.asarray(params["Conv_BN"]["moving_mean"]).copy()
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx)
+    rng = np.random.default_rng(0)
+    imgs, labs = synthetic_batch(rng, 4, size=(64, 64), class_ids=(8, 12))
+    losses = []
+    for _ in range(25):
+        params, opt_state, loss = step(params, opt_state, imgs, labs)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0], losses
+    # Moving stats advanced (EMA of real batch stats, not identity).
+    assert np.any(np.asarray(params["Conv_BN"]["moving_mean"]) != mm0)
+    # Inference-mode forward with the EMA'd stats is coherent on the train
+    # batch. NOTE: 25 steps only reaches the all-background basin (bg is
+    # ~86% of pixels), so this is a sanity floor, not a learning claim —
+    # foreground recall is pinned by the slow quality-demo test.
+    logits = forward(params, jnp.asarray(imgs), cfg)
+    pred = np.argmax(np.asarray(logits), -1)
+    valid = labs != 255
+    acc = float(np.mean((pred == labs)[valid]))
+    assert acc > 0.7, acc
+
+
+def test_forward_train_matches_inference_after_stat_convergence():
+    """With moving stats equal to the batch stats, train and inference BN
+    agree — pins that the two modes compute the same affine transform."""
+    cfg = DeepLabConfig(input_shape=(32, 32, 3), classes=5,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    _, stats = forward_train(params, imgs, cfg)
+    converged = update_bn_stats(params, stats, momentum=0.0)  # copy batch stats
+    logits_train, _ = forward_train(converged, imgs, cfg)
+    logits_inf = forward(converged, imgs, cfg)
+    np.testing.assert_allclose(np.asarray(logits_train),
+                               np.asarray(logits_inf), atol=2e-3)
+
+
+def test_synthetic_scene_contract():
+    rng = np.random.default_rng(0)
+    img, lab = synthetic_scene(rng, size=(96, 96), class_ids=(8, 12))
+    assert img.shape == (96, 96, 3) and img.dtype == np.float32
+    assert lab.shape == (96, 96) and lab.dtype == np.int32
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    vals = set(np.unique(lab).tolist())
+    assert vals <= {0, 8, 12, 255}
+    imgs, labs = synthetic_batch(rng, 3, size=(64, 64), class_ids=(8,),
+                                 require_class=8)
+    assert imgs.shape == (3, 64, 64, 3)
+    assert all(np.any(labs[i] == 8) for i in range(3))
+    # Void contour surrounds shapes (ignore-label parity with VOC borders).
+    assert np.any(labs == 255)
+
+
+def test_sharded_train_step_matches_single_device():
+    """Data-parallel training on the fake 8-device mesh: same math as the
+    single-device step (GSPMD inserts the gradient all-reduce and makes the
+    BN batch stats global = synchronized BatchNorm), collectives present."""
+    from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_train_batch,
+    )
+
+    cfg = DeepLabConfig(input_shape=(32, 32, 3), classes=5,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    tx = optax.sgd(1e-2)
+    rng = np.random.default_rng(7)
+    imgs, labs = synthetic_batch(rng, 8, size=(32, 32), class_ids=(1, 2))
+
+    step1 = make_train_step(cfg, tx)
+    p1, o1, loss1 = step1(params, tx.init(params), imgs, labs)
+
+    mesh = make_mesh(shape=(2, 4))
+    stepN = make_sharded_train_step(mesh, cfg, tx)
+    from deeplabv3plus_augmented_superresolution_tpu.parallel import replicated
+    pr = jax.device_put(params, replicated(mesh))
+    our = jax.device_put(tx.init(params), replicated(mesh))
+    im, lb = shard_train_batch(mesh, jnp.asarray(imgs), jnp.asarray(labs))
+    pN, oN, lossN = stepN(pr, our, im, lb)
+
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-4)
+    # Param agreement is tolerance-bounded, not bitwise: the partitioned
+    # program reassociates the BN batch-stat and gradient reductions, and the
+    # divide-by-sqrt(var) amplifies the f32 rounding (measured ~1.4e-3 max
+    # on this config). The semantic checks are the loss parity above and the
+    # all-reduce below.
+    for layer in ("Conv_BN", "custom_logits_semantic"):
+        for k in p1[layer]:
+            np.testing.assert_allclose(np.asarray(pN[layer][k]),
+                                       np.asarray(p1[layer][k]),
+                                       atol=5e-3, err_msg=f"{layer}/{k}")
+    # The compiled program really is distributed (cross-device reductions).
+    hlo = stepN.lower(pr, our, im, lb).compile().as_text()
+    assert "all-reduce" in hlo
+
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_train_batch(mesh, jnp.asarray(imgs[:3]), jnp.asarray(labs[:3]))
+
+
+@pytest.mark.slow
+def test_quality_demo_end_to_end_small():
+    """Train-from-scratch -> full ASR pipeline, CPU-sized. The real quality
+    evidence runs at production shape via scripts/quality_demo.py; this pins
+    that the loop works and the trained model's masks are meaningful."""
+    import scripts.quality_demo as qd
+    # 60 steps at lr 1e-3 is NOT enough — the model sits in the
+    # all-background basin (bg is ~86% of pixels) until ~step 75 even at
+    # lr 3e-3 (measured); 250 steps gives fg recall > 0.95 on this config.
+    result = qd.run_demo(backbone="mobilenet", size=64, train_steps=250,
+                         train_batch=4, train_set=16, lr=3e-3, alpha=0.35,
+                         eval_images=2, num_aug=8, num_iter=30, class_id=8,
+                         compute_dtype="float32", verbose=False)
+    # A trained (non-random) model segments the high-contrast scenes: the
+    # standard baseline must be far above chance, and every arm finite.
+    assert result["iou"]["standard"] > 0.4, result
+    for arm in ("aug", "max", "mean"):
+        assert np.isfinite(result["iou"][arm]), result
