@@ -330,7 +330,18 @@ def build_model(cfg: DeepLabConfig, seed: int = 0, params: Optional[Params] = No
     DeeplabV3Plus(...).build_model(...) (reference model.py:64-147)."""
     if params is None:
         params = init_params(cfg, seed=seed)
-    if cfg.weights == "pascal_voc" and weights_path is not None:
+    if weights_path is not None and weights_path.endswith(".npz"):
+        # Own-format checkpoint (save_params_npz — e.g. a model trained from
+        # scratch with models/train.py). Tolerate the head-name switch
+        # between pascal_voc and scratch configs (head_layer_name).
+        from .weights import load_params_npz
+        loaded = load_params_npz(weights_path)
+        want = head_layer_name(cfg)
+        for other in ("logits_semantic", "custom_logits_semantic"):
+            if other != want and other in loaded and want not in loaded:
+                loaded[want] = loaded.pop(other)
+        params = loaded
+    elif cfg.weights == "pascal_voc" and weights_path is not None:
         from .weights import load_keras_h5_weights
         params = load_keras_h5_weights(params, weights_path)
 

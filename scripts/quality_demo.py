@@ -44,7 +44,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
              eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
              serving: bool = False, compute_dtype: str = "bfloat16",
-             save_dir: str = "", verbose: bool = True):
+             save_dir: str = "", save_params: str = "", verbose: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -128,6 +128,13 @@ def run_demo(backbone: str = "xception", size: int = 512,
     train_s = time.time() - t0
     log(f"[quality_demo] trained {train_steps} steps in {train_s:.1f}s "
         f"(loss {all_losses[0]:.3f} -> {all_losses[-1]:.4f})")
+    if save_params:
+        from deeplabv3plus_augmented_superresolution_tpu.models import (
+            save_params_npz,
+        )
+        save_params_npz(jax.device_get(params), save_params)
+        log(f"[quality_demo] trained params -> {save_params} "
+            "(usable as --weights_path by every CLI)")
 
     # ---- 2. evaluate the full ASR pipeline --------------------------------
     feat = size // (4 if backbone == "xception" else 8)
@@ -238,6 +245,9 @@ def main():
                     help="small CPU-friendly configuration")
     ap.add_argument("--save_dir", default="",
                     help="save eval images + masks as PNGs")
+    ap.add_argument("--save_params", default="",
+                    help="save the trained params as .npz (drop-in for any "
+                         "CLI's --weights_path)")
     ap.add_argument("--out", default="quality_demo.json")
     args = ap.parse_args()
 
@@ -247,7 +257,8 @@ def main():
               eval_images=args.eval_images, num_aug=args.num_aug,
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
-              serving=args.serving, save_dir=args.save_dir)
+              serving=args.serving, save_dir=args.save_dir,
+              save_params=args.save_params)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter

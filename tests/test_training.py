@@ -149,6 +149,36 @@ def test_synthetic_scene_contract():
     assert np.any(labs == 255)
 
 
+def test_npz_checkpoint_drops_into_build_model(tmp_path):
+    """A scratch-trained checkpoint (.npz) loads through build_model's
+    weights_path — the drop-in path every CLI's --weights_path uses —
+    including the head-name switch (custom_logits_semantic was trained,
+    logits_semantic is what a pascal_voc config reads)."""
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        build_model,
+        save_params_npz,
+    )
+
+    cfg_s = DeepLabConfig(input_shape=(32, 32, 3), classes=21,
+                          backbone="mobilenet", alpha=0.35, weights=None,
+                          final_upsample=False, compute_dtype="float32")
+    p, _ = build_model(cfg_s, seed=0)
+    path = str(tmp_path / "trained.npz")
+    save_params_npz(p, path)
+
+    cfg_v = DeepLabConfig(input_shape=(32, 32, 3), classes=21,
+                          backbone="mobilenet", alpha=0.35,
+                          final_upsample=False, compute_dtype="float32")
+    assert cfg_v.weights == "pascal_voc"
+    p2, apply_fn = build_model(cfg_v, seed=1, weights_path=path)
+    assert "logits_semantic" in p2 and "custom_logits_semantic" not in p2
+    out = apply_fn(p2, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 4, 4, 21)
+    np.testing.assert_allclose(
+        np.asarray(p2["logits_semantic"]["kernel"]),
+        np.asarray(p["custom_logits_semantic"]["kernel"]))
+
+
 def test_sharded_train_step_matches_single_device():
     """Data-parallel training on the fake 8-device mesh: same math as the
     single-device step (GSPMD inserts the gradient all-reduce and makes the
