@@ -73,3 +73,30 @@ for k, v in out.items():
     local = np.asarray([sh.data for sh in v.addressable_shards][0])
     assert np.isfinite(local).all(), k
 print(f"proc {pid}: multihost ASR batch OK over mesh {dict(mesh.shape)}")
+
+# DP training across hosts: global batch 8 = 2 hosts x 4 local devices, each
+# process generating only its own 4 scenes; gradient all-reduce + global
+# (synchronized) BN stats ride the same mesh.
+import optax
+from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+    synthetic_batch)
+from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+    make_sharded_train_step)
+
+train_cfg = DeepLabConfig(input_shape=(32, 32, 3), classes=5,
+                          backbone="mobilenet", alpha=0.35, weights=None,
+                          final_upsample=True, compute_dtype="float32")
+tparams, _ = build_model(train_cfg, seed=0)
+tx = optax.sgd(1e-2)
+step = make_sharded_train_step(mesh, train_cfg, tx)
+rng_t = np.random.default_rng(100 + pid)
+imgs, labs = synthetic_batch(rng_t, 4, size=(32, 32), class_ids=(1, 2))
+to_g = lambda x, spec: host_local_batch_to_global(mesh, np.asarray(x), spec)
+gp = jax.tree.map(lambda x: to_g(x, P()), tparams)
+go = jax.tree.map(lambda x: to_g(x, P()), tx.init(tparams))
+gi = to_g(imgs, P(("data", "aug")))
+gl = to_g(labs.astype(np.int32), P(("data", "aug")))
+gp, go, loss = step(gp, go, gi, gl)
+lv = float(np.asarray(jax.device_get(loss)))
+assert np.isfinite(lv), lv
+print(f"proc {pid}: multihost train step OK, loss {lv:.4f}")

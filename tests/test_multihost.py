@@ -47,3 +47,8 @@ def test_two_process_asr_batch():
     for pid, (rc, out) in enumerate(outputs):
         assert rc == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "multihost ASR batch OK over mesh {'data': 2, 'aug': 4}" in out
+        assert "multihost train step OK" in out
+    # Replicated outputs: both processes computed the same global loss.
+    losses = [out.split("train step OK, loss ")[1].split()[0]
+              for _, out in outputs]
+    assert losses[0] == losses[1], losses
