@@ -44,7 +44,8 @@ def run_demo(backbone: str = "xception", size: int = 512,
              eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
              serving: bool = False, compute_dtype: str = "bfloat16",
-             save_dir: str = "", save_params: str = "", verbose: bool = True):
+             save_dir: str = "", save_params: str = "",
+             th_sweep: bool = False, verbose: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -164,6 +165,14 @@ def run_demo(backbone: str = "xception", size: int = 512,
                               static_argnames=("cfg",))(*fixed, sr_cfg)
 
     arms = ("aug", "max", "mean", "standard")
+    # --th_sweep: the reference's threshold_tests design — one solve per
+    # image, every threshold applied to the continuous SR targets.
+    sweep_ths = (0.1, 0.2, 0.3, 0.4, 0.5, 0.65, 0.8) if th_sweep else ()
+    sweep_ious = {a: {t: [] for t in sweep_ths} for a in ("aug", "max", "mean")}
+    if th_sweep:
+        from deeplabv3plus_augmented_superresolution_tpu.sr import (
+            threshold_image,
+        )
     ious = {a: [] for a in arms}
     ious_bg = {a: [] for a in arms}
     t0 = time.time()
@@ -176,12 +185,19 @@ def run_demo(backbone: str = "xception", size: int = 512,
                 num_aug, 0.15, shift_max)
         out = asr_step(params, jnp.asarray(eval_imgs[i]), angles, shifts,
                        model_cfg, sr_cfg, class_id=class_id, mode="argmax",
-                       th_factor=th_factor, gram_coeffs=gram_coeffs)
+                       th_factor=th_factor, gram_coeffs=gram_coeffs,
+                       return_targets=th_sweep)
         gt = eval_labs[i]
         for a in arms:
             ious[a].append(float(single_class_iou(gt, out[a], class_id)))
             ious_bg[a].append(float(single_class_iou(gt, out[a], class_id,
                                                      include_bg=True)))
+        for a in sweep_ious:
+            for t in sweep_ths:
+                mask = threshold_image(out[f"{a}_target"], class_id,
+                                       th_factor=t)
+                sweep_ious[a][t].append(
+                    float(single_class_iou(gt, mask, class_id)))
         if save_dir:
             from deeplabv3plus_augmented_superresolution_tpu.data import (
                 save_img,
@@ -212,6 +228,13 @@ def run_demo(backbone: str = "xception", size: int = 512,
                                           "weights; different data, same "
                                           "comparison)"},
     }
+    if th_sweep:
+        table = {a: {t: float(np.mean(v)) for t, v in d.items()}
+                 for a, d in sweep_ious.items()}
+        best = {a: max(d, key=d.get) for a, d in table.items()}
+        result["th_sweep"] = table
+        result["th_best"] = {a: {"th": best[a], "iou": table[a][best[a]]}
+                             for a in table}
     log("\n[quality_demo] mean single-class IoU over "
         f"{eval_images} held-out scenes (class {class_id}):")
     log(f"  {'arm':10s} {'IoU':>8s} {'IoU+bg':>8s}")
@@ -219,6 +242,14 @@ def run_demo(backbone: str = "xception", size: int = 512,
         log(f"  {a:10s} {means[a]:8.4f} {means_bg[a]:8.4f}")
     log(f"  aug - standard = {result['aug_minus_standard']:+.4f} "
         f"(win rate {wins:.0%})")
+    if th_sweep:
+        log(f"  {'th':>5s} " + " ".join(f"{a:>8s}" for a in table))
+        for t in sweep_ths:
+            log(f"  {t:5.2f} " + " ".join(f"{table[a][t]:8.4f}"
+                                          for a in table))
+        for a in table:
+            log(f"  best {a}: th={best[a]:.2f} IoU={table[a][best[a]]:.4f} "
+                f"({table[a][best[a]] - means['standard']:+.4f} vs standard)")
     return result
 
 
@@ -248,6 +279,10 @@ def main():
     ap.add_argument("--save_params", default="",
                     help="save the trained params as .npz (drop-in for any "
                          "CLI's --weights_path)")
+    ap.add_argument("--th_sweep", action="store_true",
+                    help="per-arm threshold sweep on the continuous SR "
+                         "targets (one solve per image, thresholds applied "
+                         "after — the reference's threshold_tests design)")
     ap.add_argument("--out", default="quality_demo.json")
     args = ap.parse_args()
 
@@ -258,7 +293,7 @@ def main():
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
               serving=args.serving, save_dir=args.save_dir,
-              save_params=args.save_params)
+              save_params=args.save_params, th_sweep=args.th_sweep)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter
