@@ -239,9 +239,14 @@ def test_quality_demo_end_to_end_small():
     result = qd.run_demo(backbone="mobilenet", size=64, train_steps=250,
                          train_batch=4, train_set=16, lr=3e-3, alpha=0.35,
                          eval_images=2, num_aug=8, num_iter=30, class_id=8,
-                         compute_dtype="float32", verbose=False)
+                         compute_dtype="float32", th_sweep=True,
+                         verbose=False)
     # A trained (non-random) model segments the high-contrast scenes: the
     # standard baseline must be far above chance, and every arm finite.
     assert result["iou"]["standard"] > 0.4, result
     for arm in ("aug", "max", "mean"):
         assert np.isfinite(result["iou"][arm]), result
+    # The threshold sweep covers every arm and its best can't be worse than
+    # the fixed-threshold number for the same arm.
+    for arm in ("aug", "max", "mean"):
+        assert result["th_best"][arm]["iou"] >= result["iou"][arm] - 1e-9
