@@ -149,6 +149,26 @@ def test_synthetic_scene_contract():
     assert np.any(labs == 255)
 
 
+def test_xception_train_step_runs():
+    """The xception backbone trains too (BN batch mode through the entry/
+    middle/exit flows + ASPP + decoder); loss decreases over two steps and
+    the inference forward stays finite."""
+    cfg = DeepLabConfig(input_shape=(48, 48, 3), classes=21,
+                        backbone="xception", weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx)
+    rng = np.random.default_rng(3)
+    imgs, labs = synthetic_batch(rng, 2, size=(48, 48), class_ids=(8,))
+    params, opt, loss0 = step(params, opt, imgs, labs)
+    params, opt, loss1 = step(params, opt, imgs, labs)
+    assert float(loss1) < float(loss0)
+    logits = forward(params, jnp.asarray(imgs), cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_npz_checkpoint_drops_into_build_model(tmp_path):
     """A scratch-trained checkpoint (.npz) loads through build_model's
     weights_path — the drop-in path every CLI's --weights_path uses —
