@@ -39,6 +39,7 @@ os.environ.setdefault("TPU_WORKER_ID", "0")
 
 
 def run_demo(backbone: str = "xception", size: int = 512,
+             train_size: int = 0,
              train_steps: int = 400, train_batch: int = 8,
              train_set: int = 128, lr: float = 1e-3, alpha: float = 1.0,
              eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
@@ -79,14 +80,19 @@ def run_demo(backbone: str = "xception", size: int = 512,
     class_ids = (class_id, 12 if class_id != 12 else 15)
 
     # ---- 1. train ---------------------------------------------------------
+    # train_size < size trains at lower resolution and evaluates at the full
+    # one (the model is fully convolutional, params are resolution-free) —
+    # backprop activations at 512 px don't fit a single chip's HBM at useful
+    # batch sizes, and the quality claim is about the EVAL pipeline.
+    tsz = train_size or size
     train_cfg = DeepLabConfig(
-        input_shape=(size, size, 3), classes=21, backbone=backbone,
+        input_shape=(tsz, tsz, 3), classes=21, backbone=backbone,
         alpha=alpha, weights=None, final_upsample=True,
         compute_dtype=compute_dtype)
     params = init_params(train_cfg, seed=0)
 
-    log(f"[quality_demo] generating {train_set} training scenes @ {size}px")
-    imgs, labs = synthetic_batch(rng, train_set, size=(size, size),
+    log(f"[quality_demo] generating {train_set} training scenes @ {tsz}px")
+    imgs, labs = synthetic_batch(rng, train_set, size=(tsz, tsz),
                                  class_ids=class_ids)
     # One upload of the whole quantized training set; batches are sampled
     # on-device (per-step host->device uploads would be tunnel-bound).
@@ -139,7 +145,8 @@ def run_demo(backbone: str = "xception", size: int = 512,
 
     # ---- 2. evaluate the full ASR pipeline --------------------------------
     feat = size // (4 if backbone == "xception" else 8)
-    model_cfg = dataclasses.replace(train_cfg, final_upsample=False)
+    model_cfg = dataclasses.replace(train_cfg, final_upsample=False,
+                                    input_shape=(size, size, 3))
     sr_cfg = SRConfig(
         lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
         num_aug=num_aug, feature_size=(feat, feat), output_size=(size, size),
@@ -167,7 +174,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
     arms = ("aug", "max", "mean", "standard")
     # --th_sweep: the reference's threshold_tests design — one solve per
     # image, every threshold applied to the continuous SR targets.
-    sweep_ths = (0.1, 0.2, 0.3, 0.4, 0.5, 0.65, 0.8) if th_sweep else ()
+    sweep_ths = (0.1, 0.2, 0.3, 0.4, 0.5, 0.65, 0.8, 0.9) if th_sweep else ()
     sweep_ious = {a: {t: [] for t in sweep_ths} for a in ("aug", "max", "mean")}
     if th_sweep:
         from deeplabv3plus_augmented_superresolution_tpu.sr import (
@@ -258,6 +265,9 @@ def main():
     ap.add_argument("--backbone", default="xception",
                     choices=["xception", "mobilenet"])
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--train_size", type=int, default=0,
+                    help="train at this resolution, evaluate at --size "
+                         "(0 = same; params are resolution-free)")
     ap.add_argument("--train_steps", type=int, default=400)
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--train_set", type=int, default=128)
@@ -287,6 +297,7 @@ def main():
     args = ap.parse_args()
 
     kw = dict(backbone=args.backbone, size=args.size,
+              train_size=args.train_size,
               train_steps=args.train_steps, train_batch=args.train_batch,
               train_set=args.train_set, lr=args.lr, alpha=args.alpha,
               eval_images=args.eval_images, num_aug=args.num_aug,
