@@ -45,6 +45,16 @@ class ParamStore:
         self.bn_mode = bn_mode
         self.bn_batch_stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
 
+    def conv_accum_dtype(self, x: jnp.ndarray):
+        """preferred_element_type for convs. Inference folds BN in f32, so
+        bf16 forwards keep f32 conv outputs. In batch (training) mode the
+        conv VJP transposes with a cotangent of the OUTPUT dtype — a f32
+        preferred type under bf16 operands makes that transpose a mixed
+        bf16/f32 conv, which lax rejects; the MXU accumulates bf16 in f32
+        internally either way, so training uses the operand dtype and BN's
+        f32 batch statistics restandardize right after."""
+        return None if self.bn_mode == "batch" else jnp.float32
+
     def _glorot(self, shape):
         fan_in = np.prod(shape[:-1])
         fan_out = shape[-1] * np.prod(shape[:-2]) if len(shape) > 1 else shape[-1]
@@ -88,7 +98,7 @@ def conv2d(store: ParamStore, name: str, x: jnp.ndarray, filters: int,
         padding=pad,
         rhs_dilation=(rate, rate),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=store.conv_accum_dtype(x),
     )
     if use_bias:
         bias = store.get(name, "bias", (filters,), init="zeros")
@@ -115,7 +125,7 @@ def depthwise_conv2d(store: ParamStore, name: str, x: jnp.ndarray,
         rhs_dilation=(rate, rate),
         dimension_numbers=_DN,
         feature_group_count=in_ch,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=store.conv_accum_dtype(x),
     )
     return y.astype(x.dtype)
 

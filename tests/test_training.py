@@ -169,6 +169,29 @@ def test_xception_train_step_runs():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_train_step_bfloat16_compute_dtype():
+    """bf16 training compiles and learns: the conv VJP transposes with a
+    cotangent of the OUTPUT dtype, so a f32 preferred_element_type under
+    bf16 operands made every backward conv a mixed-dtype call lax rejects
+    (regression: ParamStore.conv_accum_dtype). Loss must drop and params
+    stay f32 (master weights) with finite inference logits."""
+    cfg = DeepLabConfig(input_shape=(48, 48, 3), classes=21,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="bfloat16")
+    params = init_params(cfg, seed=0)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx)
+    rng = np.random.default_rng(5)
+    imgs, labs = synthetic_batch(rng, 2, size=(48, 48), class_ids=(8,))
+    params, opt, loss0 = step(params, opt, imgs, labs)
+    params, opt, loss1 = step(params, opt, imgs, labs)
+    assert float(loss1) < float(loss0)
+    assert params["custom_logits_semantic"]["kernel"].dtype == jnp.float32
+    logits = forward(params, jnp.asarray(imgs), cfg)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
 def test_npz_checkpoint_drops_into_build_model(tmp_path):
     """A scratch-trained checkpoint (.npz) loads through build_model's
     weights_path — the drop-in path every CLI's --weights_path uses —
