@@ -1,5 +1,6 @@
 from .deeplab import DeepLabConfig, build_model, forward, init_params, head_layer_name
 from .train import (
+    build_train_step,
     forward_train,
     make_train_step,
     segmentation_loss,
@@ -20,6 +21,7 @@ __all__ = [
     "forward_train",
     "init_params",
     "head_layer_name",
+    "build_train_step",
     "make_train_step",
     "segmentation_loss",
     "update_bn_stats",

@@ -81,15 +81,26 @@ def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
-                     bn_momentum: float = 0.9):
+                     bn_momentum: float = 0.9, remat: bool = False):
     """The unjitted train step: step(params, opt_state, images, labels) ->
     (params, opt_state, loss). make_train_step jits it for one device;
     parallel.make_sharded_train_step jits the SAME function with mesh
-    shardings (GSPMD turns the batch-axis reductions into collectives)."""
+    shardings (GSPMD turns the batch-axis reductions into collectives).
+
+    remat=True wraps the forward in jax.checkpoint so the backward pass
+    recomputes activations instead of keeping them live — ~2x the forward
+    FLOPs for an activation footprint small enough to backprop 512-px
+    batches on one chip's HBM (the unremat'd xception forward keeps ~60
+    sepconv activations alive). Numerics are identical (same ops, same
+    order; pinned by tests/test_training.py).
+    """
+    fwd = forward_train
+    if remat:
+        fwd = jax.checkpoint(forward_train, static_argnums=(2,))
 
     def step(params, opt_state, images, labels):
         def loss_fn(p):
-            logits, stats = forward_train(p, images, cfg)
+            logits, stats = fwd(p, images, cfg)
             if not cfg.final_upsample and logits.shape[1:3] != labels.shape[1:3]:
                 raise ValueError("labels must match the logits resolution; "
                                  "train with final_upsample=True or resize")
@@ -105,12 +116,14 @@ def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
 
 
 def make_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
-                    bn_momentum: float = 0.9):
+                    bn_momentum: float = 0.9, remat: bool = False):
     """Build a jitted segmentation train step.
 
     step(params, opt_state, images, labels) -> (params, opt_state, loss)
     with images (B, H, W, 3) f32 in [0, 1] and labels (B, H, W) int
     (255 = ignore). BN moving stats ride along via EMA of the batch stats, so
     the returned params are directly usable by the inference-mode forward.
+    remat=True trades ~2x forward FLOPs for the activation memory (see
+    build_train_step) — use for high-resolution training.
     """
-    return jax.jit(build_train_step(cfg, tx, bn_momentum))
+    return jax.jit(build_train_step(cfg, tx, bn_momentum, remat=remat))

@@ -46,7 +46,8 @@ def run_demo(backbone: str = "xception", size: int = 512,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
              serving: bool = False, compute_dtype: str = "bfloat16",
              save_dir: str = "", save_params: str = "",
-             th_sweep: bool = False, verbose: bool = True):
+             th_sweep: bool = False, remat: bool = False,
+             verbose: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,7 +102,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)
-    step = make_train_step(train_cfg, tx, bn_momentum=0.9)
+    step = make_train_step(train_cfg, tx, bn_momentum=0.9, remat=remat)
 
     def train_chunk(params, opt_state, data_img, data_lab, keys):
         def body(carry, key):
@@ -289,6 +290,10 @@ def main():
     ap.add_argument("--save_params", default="",
                     help="save the trained params as .npz (drop-in for any "
                          "CLI's --weights_path)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the training forward (2x forward "
+                         "FLOPs for the activation memory — enables "
+                         "high-resolution training on one chip)")
     ap.add_argument("--th_sweep", action="store_true",
                     help="per-arm threshold sweep on the continuous SR "
                          "targets (one solve per image, thresholds applied "
@@ -304,7 +309,8 @@ def main():
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
               serving=args.serving, save_dir=args.save_dir,
-              save_params=args.save_params, th_sweep=args.th_sweep)
+              save_params=args.save_params, th_sweep=args.th_sweep,
+              remat=args.remat)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter

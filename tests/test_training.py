@@ -169,6 +169,39 @@ def test_xception_train_step_runs():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_remat_train_step_matches_unremat():
+    """jax.checkpoint'd training recomputes activations instead of storing
+    them; the loss (a primal value, not recomputed) must agree tightly,
+    and the post-step params to f32 reassociation noise: XLA re-fuses the
+    recomputed backward segments, reassociating conv reductions, which
+    perturbs gradients by ~1e-2 relative through the BN-normalized deep
+    stack (measured max |Δparam| ≈ 2e-4 at lr 1e-2). SGD, not Adam: a
+    one-step Adam update is ±lr·sign(g), which amplifies roundoff on
+    near-zero gradients into lr-scale param differences."""
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        build_train_step,
+    )
+    cfg = DeepLabConfig(input_shape=(32, 32, 3), classes=21,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    rng = np.random.default_rng(7)
+    imgs, labs = synthetic_batch(rng, 2, size=(32, 32), class_ids=(8,))
+    tx = optax.sgd(1e-2)
+    results = []
+    for remat in (False, True):
+        params = init_params(cfg, seed=0)
+        opt = tx.init(params)
+        step = jax.jit(build_train_step(cfg, tx, remat=remat))
+        params, opt, loss = step(params, opt, imgs, labs)
+        results.append((params, float(loss)))
+    (p0, l0), (p1, l1) = results
+    assert l0 == pytest.approx(l1, rel=1e-5)
+    leaves0, leaves1 = jax.tree.leaves(p0), jax.tree.leaves(p1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+
+
 def test_train_step_bfloat16_compute_dtype():
     """bf16 training compiles and learns: the conv VJP transposes with a
     cotangent of the OUTPUT dtype, so a f32 preferred_element_type under
