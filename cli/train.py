@@ -1,0 +1,354 @@
+"""Train DeepLabV3+ from scratch (or fine-tune a checkpoint) on TPU.
+
+The reference never trains — its weights are downloaded pretrained (reference
+model.py:129-145) and its training-era losses sit unused (reference
+utils.py:41-91). This CLI is the framework's first-class training entry
+point around models/train.py:
+
+  * data: procedural synthetic scenes (data/synthetic.py — works in a
+    zero-egress container) or a prepared PASCAL VOC tree
+    (data/dataset.py, the reference's pascal_voc_dataset role) with
+    host-side augmentation + threaded prefetch,
+  * one jitted train step (bf16/f32 forward, batch-stats BN with EMA'd
+    moving statistics, void-255-ignoring CE, optax) — optionally
+    jax.checkpoint'd (--remat) for high-resolution batches,
+  * data-parallel sharding over a device mesh (--devices N or --multihost;
+    parallel.make_sharded_train_step: GSPMD gradient all-reduce +
+    synchronized BatchNorm, no hand-written collectives),
+  * device-resident synthetic dataset with lax.scan step chunks (one host
+    round-trip per --log_every steps, not per step — the tunnel-latency
+    pattern measured in NOTES.md),
+  * periodic mIoU eval on a held-out set, .npz checkpoints every
+    --ckpt_every steps that drop into every CLI's --weights_path, and
+    resume from any of them.
+
+Examples:
+    # synthetic scratch run on the default device
+    python cli/train.py --steps 600 --size 128 --out train_run.json
+    # 8-way data parallel on a mesh
+    python cli/train.py --devices 8 --batch 16
+    # fine-tune from a checkpoint on a VOC tree
+    python cli/train.py --data voc --pascal_root data/dataset_root/VOCdevkit/VOC2012 \
+        --resume ckpts/step_600.npz
+"""
+
+import argparse
+import json
+import os
+import time
+
+from _common import SEED  # noqa: F401  (sys.path + TPU env side effects)
+
+
+def make_optimizer(args):
+    import optax
+
+    if args.lr_schedule == "constant":
+        sched = args.lr
+    elif args.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.lr,
+            warmup_steps=args.warmup_steps,
+            decay_steps=max(args.steps, args.warmup_steps + 1))
+    elif args.lr_schedule == "exponential":
+        # The reference's ExponentialDecay semantics (reference
+        # optimizer.py:43-52): lr * rate^(step / decay_steps), staircase off.
+        sched = optax.exponential_decay(
+            init_value=args.lr, transition_steps=args.decay_steps,
+            decay_rate=args.decay_rate, staircase=False)
+    else:
+        raise ValueError(args.lr_schedule)
+
+    if args.optimizer == "adam":
+        tx = optax.adam(sched)
+    elif args.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=args.weight_decay)
+    elif args.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=args.momentum, nesterov=True)
+    else:
+        raise ValueError(args.optimizer)
+    if args.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
+    return tx
+
+
+def synthetic_eval_fn(args, model_cfg, eval_imgs, eval_labs):
+    """mIoU of the inference-mode forward over a held-out array batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import mean_iou
+    from deeplabv3plus_augmented_superresolution_tpu.models import forward
+
+    @jax.jit
+    def predict(params, images):
+        logits = forward(params, images, model_cfg)
+        return jnp.argmax(logits, axis=-1)
+
+    def evaluate(params):
+        ious = []
+        for start in range(0, eval_imgs.shape[0], args.batch):
+            im = eval_imgs[start:start + args.batch]
+            lb = eval_labs[start:start + args.batch]
+            if im.shape[0] < args.batch:  # pad to the compiled batch shape
+                pad = args.batch - im.shape[0]
+                im = np.concatenate([im, np.zeros_like(im[:1]).repeat(pad, 0)])
+            pred = np.asarray(predict(params, jnp.asarray(im)))[:lb.shape[0]]
+            for t, p in zip(lb, pred):
+                ious.append(float(mean_iou(t, p, model_cfg.classes)))
+        return float(np.nanmean(ious))
+
+    return evaluate
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="Train DeepLabV3+ (TPU-native; the reference has no "
+                    "training path — weights were downloaded pretrained)")
+    ap.add_argument("--data", default="synthetic", choices=["synthetic", "voc"])
+    ap.add_argument("--pascal_root", default="",
+                    help="prepared VOC tree (cli/download_and_prepare_voc.py)")
+    ap.add_argument("--split", default="trainaug",
+                    help="VOC split file (trainaug/valaug)")
+    ap.add_argument("--augment", action="store_true",
+                    help="host-side random_transform augmentation (VOC data)")
+    ap.add_argument("--backbone", default="xception",
+                    choices=["xception", "mobilenet"])
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--size", type=int, default=128,
+                    help="training resolution (params are resolution-free; "
+                         "evaluate/serve at any other size)")
+    ap.add_argument("--classes", type=int, default=21)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the forward (~2x forward FLOPs for "
+                         "the activation memory; for high-res batches)")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="GLOBAL batch size (divides across the mesh)")
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "adamw", "sgd"])
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr_schedule", default="constant",
+                    choices=["constant", "cosine", "exponential"])
+    ap.add_argument("--warmup_steps", type=int, default=50)
+    ap.add_argument("--decay_steps", type=int, default=200)
+    ap.add_argument("--decay_rate", type=float, default=0.5)
+    ap.add_argument("--weight_decay", type=float, default=1e-4)
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--grad_clip", type=float, default=0.0)
+    ap.add_argument("--bn_momentum", type=float, default=0.9)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="data-parallel over the first N devices "
+                         "(0 = single-device jit; requires N <= available)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize + DCNxICI mesh over all "
+                         "processes (JAX_COORDINATOR_ADDRESS et al.)")
+    ap.add_argument("--train_set", type=int, default=128,
+                    help="synthetic: number of generated training scenes")
+    ap.add_argument("--class_ids", type=int, nargs="+", default=[8, 12],
+                    help="synthetic: foreground class ids")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="evaluate held-out mIoU every N steps (0 = only at "
+                         "the end)")
+    ap.add_argument("--eval_images", type=int, default=16)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--ckpt_dir", default="",
+                    help="write step_<N>.npz checkpoints here")
+    ap.add_argument("--ckpt_every", type=int, default=200)
+    ap.add_argument("--resume", default="",
+                    help=".npz params to start from (a prior checkpoint or "
+                         "any --weights_path-compatible file)")
+    ap.add_argument("--save_params", default="trained_params.npz",
+                    help="final params .npz ('' to skip)")
+    ap.add_argument("--seed", type=int, default=SEED)
+    ap.add_argument("--out", default="",
+                    help="write the run summary as JSON")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig, init_params, make_train_step, save_params_npz)
+    from deeplabv3plus_augmented_superresolution_tpu.parallel import (
+        initialize_distributed, make_mesh, make_multihost_mesh,
+        make_sharded_train_step, shard_train_batch)
+
+    if args.multihost:
+        initialize_distributed()
+
+    cfg = DeepLabConfig(
+        input_shape=(args.size, args.size, 3), classes=args.classes,
+        backbone=args.backbone, alpha=args.alpha, weights=None,
+        final_upsample=True, compute_dtype=args.compute_dtype)
+    params = init_params(cfg, seed=args.seed)
+    if args.resume:
+        from deeplabv3plus_augmented_superresolution_tpu.models import (
+            build_model)
+        params, _ = build_model(cfg, params=params, weights_path=args.resume)
+        print(f"[train] resumed params from {args.resume}")
+
+    tx = make_optimizer(args)
+    opt_state = tx.init(params)
+
+    mesh = None
+    if args.multihost:
+        mesh = make_multihost_mesh()
+    elif args.devices:
+        mesh = make_mesh(jax.devices()[:args.devices])
+    if mesh is not None:
+        if args.batch % mesh.size:
+            ap.error(f"--batch {args.batch} must divide the {mesh.size}-device"
+                     " mesh")
+        step = make_sharded_train_step(mesh, cfg, tx,
+                                       bn_momentum=args.bn_momentum)
+        if args.remat:
+            # make_sharded_train_step builds its own step; rebuild with remat.
+            from deeplabv3plus_augmented_superresolution_tpu.models import (
+                build_train_step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+            step = jax.jit(build_train_step(cfg, tx, args.bn_momentum,
+                                            remat=True),
+                           in_shardings=(repl, repl, batch_sh, batch_sh),
+                           out_shardings=(repl, repl, repl),
+                           donate_argnums=(0, 1))
+        print(f"[train] data-parallel over {mesh.size} devices "
+              f"(mesh {dict(mesh.shape)})")
+    else:
+        step = make_train_step(cfg, tx, bn_momentum=args.bn_momentum,
+                               remat=args.remat)
+
+    rng = np.random.default_rng(args.seed)
+    losses, evals = [], {}
+    t0 = time.time()
+
+    def maybe_checkpoint(params, done):
+        if args.ckpt_dir and done % args.ckpt_every == 0:
+            os.makedirs(args.ckpt_dir, exist_ok=True)
+            path = os.path.join(args.ckpt_dir, f"step_{done}.npz")
+            save_params_npz(jax.device_get(params), path)
+            print(f"[train] checkpoint -> {path}")
+
+    if args.data == "synthetic":
+        from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+            synthetic_batch)
+        imgs, labs = synthetic_batch(rng, args.train_set,
+                                     size=(args.size, args.size),
+                                     class_ids=tuple(args.class_ids))
+        eval_imgs, eval_labs = synthetic_batch(rng, args.eval_images,
+                                               size=(args.size, args.size),
+                                               class_ids=tuple(args.class_ids))
+        evaluate = synthetic_eval_fn(args, cfg, eval_imgs, eval_labs)
+
+        if mesh is None:
+            # Device-resident dataset + lax.scan chunks: one host round-trip
+            # per log interval (the tunnel-efficient path; NOTES.md I/O facts).
+            ds_img = jnp.asarray((imgs * 255).astype(np.uint8))
+            ds_lab = jnp.asarray(labs.astype(np.uint8))
+
+            def train_chunk(params, opt_state, data_img, data_lab, keys):
+                def body(carry, key):
+                    p, o = carry
+                    idx = jax.random.randint(key, (args.batch,), 0,
+                                             data_img.shape[0])
+                    im = data_img[idx].astype(jnp.float32) / 255.0
+                    lb = data_lab[idx].astype(jnp.int32)
+                    p, o, loss = step(p, o, im, lb)
+                    return (p, o), loss
+
+                (params, opt_state), ls = jax.lax.scan(
+                    body, (params, opt_state), keys)
+                return params, opt_state, ls
+
+            train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
+            key = jax.random.key(args.seed)
+            done = 0
+            while done < args.steps:
+                n = min(args.log_every, args.steps - done)
+                keys = jax.random.split(jax.random.fold_in(key, done), n)
+                params, opt_state, ls = train_chunk(params, opt_state,
+                                                    ds_img, ds_lab, keys)
+                losses.extend(np.asarray(ls, np.float32).tolist())
+                done += n
+                print(f"[train] step {done}/{args.steps} "
+                      f"loss {losses[-1]:.4f}", flush=True)
+                maybe_checkpoint(params, done)
+                if args.eval_every and done % args.eval_every == 0:
+                    evals[done] = evaluate(params)
+                    print(f"[train] step {done} held-out mIoU "
+                          f"{evals[done]:.4f}")
+        else:
+            for done in range(1, args.steps + 1):
+                idx = rng.integers(0, imgs.shape[0], args.batch)
+                im, lb = shard_train_batch(mesh, imgs[idx].astype(np.float32),
+                                           labs[idx].astype(np.int32))
+                params, opt_state, loss = step(params, opt_state, im, lb)
+                if done % args.log_every == 0 or done == args.steps:
+                    losses.append(float(loss))
+                    print(f"[train] step {done}/{args.steps} "
+                          f"loss {losses[-1]:.4f}", flush=True)
+                maybe_checkpoint(params, done)
+                if args.eval_every and done % args.eval_every == 0:
+                    evals[done] = evaluate(params)
+                    print(f"[train] step {done} held-out mIoU "
+                          f"{evals[done]:.4f}")
+        final_miou = evaluate(params)
+    else:
+        if not args.pascal_root:
+            ap.error("--data voc requires --pascal_root")
+        from deeplabv3plus_augmented_superresolution_tpu.data.dataset import (
+            PascalVOC2012Dataset)
+        ds = PascalVOC2012Dataset(args.pascal_root,
+                                  image_size=(args.size, args.size))
+        done = 0
+        while done < args.steps:
+            for im, mk in ds.batches(args.split, args.batch, shuffle=True,
+                                     seed=args.seed + done,
+                                     augment=args.augment):
+                lb = mk[..., 0].astype(np.int32)
+                if mesh is not None:
+                    im, lb = shard_train_batch(mesh, im, lb)
+                params, opt_state, loss = step(params, opt_state, im, lb)
+                done += 1
+                if done % args.log_every == 0:
+                    losses.append(float(loss))
+                    print(f"[train] step {done}/{args.steps} "
+                          f"loss {losses[-1]:.4f}", flush=True)
+                maybe_checkpoint(params, done)
+                if done >= args.steps:
+                    break
+        final_miou = None  # VOC eval: use cli/validate_parity.py on the ckpt
+
+    train_s = time.time() - t0
+    params = jax.device_get(params)
+    if args.save_params:
+        save_params_npz(params, args.save_params)
+        print(f"[train] final params -> {args.save_params} "
+              "(drop into any CLI's --weights_path)")
+
+    summary = {
+        "backbone": args.backbone, "size": args.size, "steps": args.steps,
+        "global_batch": args.batch,
+        "devices": (mesh.size if mesh is not None else 1),
+        "optimizer": args.optimizer, "lr_schedule": args.lr_schedule,
+        "remat": args.remat, "compute_dtype": args.compute_dtype,
+        "loss_first": losses[0] if losses else None,
+        "loss_final": losses[-1] if losses else None,
+        "train_s": round(train_s, 1),
+        "steps_per_s": round(args.steps / train_s, 3),
+        "held_out_miou": final_miou, "evals": evals,
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

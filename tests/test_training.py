@@ -8,6 +8,9 @@ the full ASR pipeline end to end — the in-container substitute for
 checkpoint-based quality parity (scripts/quality_demo.py).
 """
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -301,6 +304,45 @@ def test_sharded_train_step_matches_single_device():
 
     with pytest.raises(ValueError, match="not divisible"):
         shard_train_batch(mesh, jnp.asarray(imgs[:3]), jnp.asarray(labs[:3]))
+
+
+def test_train_cli_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """cli/train.py end to end (in-process): synthetic data on the
+    device-resident lax.scan path, periodic .npz checkpoints, a JSON summary,
+    and a resumed run that starts from the checkpoint (its first logged loss
+    must sit well below the scratch run's first, i.e. the params really
+    loaded)."""
+    import runpy
+    import sys
+
+    cli_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cli")
+    monkeypatch.syspath_prepend(cli_dir)
+    monkeypatch.chdir(tmp_path)
+    script = os.path.join(cli_dir, "train.py")
+    base = ["train.py", "--backbone", "mobilenet", "--alpha", "0.35",
+            "--size", "48", "--batch", "2", "--train_set", "4",
+            "--eval_images", "2", "--log_every", "4", "--lr", "3e-3",
+            "--ckpt_dir", str(tmp_path / "ck"), "--ckpt_every", "8",
+            "--save_params", str(tmp_path / "final.npz")]
+
+    monkeypatch.setattr(sys, "argv", base + [
+        "--steps", "8", "--out", str(tmp_path / "run1.json")])
+    runpy.run_path(script, run_name="__main__")
+    assert (tmp_path / "ck" / "step_8.npz").exists()
+    assert (tmp_path / "final.npz").exists()
+    run1 = json.loads((tmp_path / "run1.json").read_text())
+    assert run1["devices"] == 1 and np.isfinite(run1["loss_final"])
+    assert 0.0 <= run1["held_out_miou"] <= 1.0
+
+    monkeypatch.setattr(sys, "argv", base + [
+        "--steps", "4", "--resume", str(tmp_path / "ck" / "step_8.npz"),
+        "--lr_schedule", "cosine", "--warmup_steps", "2",
+        "--out", str(tmp_path / "run2.json")])
+    runpy.run_path(script, run_name="__main__")
+    run2 = json.loads((tmp_path / "run2.json").read_text())
+    # Scratch CE starts near ln(21) ~ 3.0; a resumed model must not.
+    assert run2["loss_first"] < run1["loss_first"] - 0.5
 
 
 @pytest.mark.slow
