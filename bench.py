@@ -57,6 +57,13 @@ def main():
         SRConfig,
     )
 
+    # BENCH_TRAIN=1: training-step throughput instead of the ASR pipeline
+    # (the reference has no training path at all — weights are downloaded
+    # pretrained, reference model.py:129-145 — so there is no baseline to
+    # divide by and vs_baseline reads 0). Knobs: BENCH_TRAIN_SIZE (128),
+    # BENCH_BATCH (8), BENCH_REMAT=1.
+    if os.environ.get("BENCH_TRAIN") == "1":
+        return bench_train()
     num_aug = int(os.environ.get("BENCH_NUM_AUG", 100))
     num_iter = int(os.environ.get("BENCH_NUM_ITER", 300))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
@@ -299,6 +306,79 @@ def main():
                  "solve stage only — BENCH_SOLVE_ONLY=1 for the "
                  "like-for-like row)"),
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+def bench_train():
+    """Steady-state train-step throughput on the flagship backbone.
+
+    Runs the same jitted scan-chunk loop as cli/train.py's device-resident
+    path: K steps per dispatch so the tunnel round-trip is amortized and the
+    measured number is device throughput.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig,
+        init_params,
+        make_train_step,
+    )
+
+    size = int(os.environ.get("BENCH_TRAIN_SIZE", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    remat = os.environ.get("BENCH_REMAT") == "1"
+    steps_per_chunk = 20
+
+    cfg = DeepLabConfig(input_shape=(size, size, 3), classes=21,
+                        backbone="xception", weights=None,
+                        final_upsample=True, compute_dtype="bfloat16")
+    params = init_params(cfg, seed=0)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, remat=remat)
+
+    rng = np.random.default_rng(0)
+    imgs, labs = synthetic_batch(rng, max(batch * 4, 16), size=(size, size))
+    ds_img = jnp.asarray((imgs * 255).astype(np.uint8))
+    ds_lab = jnp.asarray(labs.astype(np.uint8))
+
+    def chunk(params, opt_state, keys):
+        def body(carry, key):
+            p, o = carry
+            idx = jax.random.randint(key, (batch,), 0, ds_img.shape[0])
+            p, o, loss = step(p, o, ds_img[idx].astype(jnp.float32) / 255.0,
+                              ds_lab[idx].astype(jnp.int32))
+            return (p, o), loss
+
+        (params, opt_state), ls = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, ls
+
+    chunk = jax.jit(chunk, donate_argnums=(0, 1))
+    key = jax.random.key(0)
+    keys = jax.random.split(key, steps_per_chunk)
+    params, opt_state, ls = chunk(params, opt_state, keys)
+    float(jnp.sum(ls))  # compile + warm
+    times = []
+    for i in range(int(os.environ.get("BENCH_REPEATS", 3))):
+        keys = jax.random.split(jax.random.fold_in(key, i), steps_per_chunk)
+        t0 = time.time()
+        params, opt_state, ls = chunk(params, opt_state, keys)
+        float(jnp.sum(ls))
+        times.append(time.time() - t0)
+    dt = min(times) / steps_per_chunk
+    print(json.dumps({
+        "metric": "train_images_per_sec",
+        "value": round(batch / dt, 3),
+        "unit": (f"images/s (xception train step, {size}px, batch={batch}, "
+                 f"bf16{', remat' if remat else ''}, 1 chip; the reference "
+                 "has NO training path — no baseline exists)"),
+        "vs_baseline": 0.0,
     }))
 
 

@@ -46,6 +46,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
              serving: bool = False, compute_dtype: str = "bfloat16",
              save_dir: str = "", save_params: str = "",
+             load_params: str = "",
              th_sweep: bool = False, remat: bool = False,
              verbose: bool = True):
     import jax
@@ -93,49 +94,65 @@ def run_demo(backbone: str = "xception", size: int = 512,
     params = init_params(train_cfg, seed=0)
 
     log(f"[quality_demo] generating {train_set} training scenes @ {tsz}px")
+    # Scenes are generated even under --load_params so the rng stream (and
+    # therefore the held-out EVAL scenes below) is identical between the run
+    # that trained the checkpoint and any later run reusing it — that makes
+    # paired comparisons (e.g. strict vs --serving on the same checkpoint
+    # and scenes) exact.
     imgs, labs = synthetic_batch(rng, train_set, size=(tsz, tsz),
                                  class_ids=class_ids)
-    # One upload of the whole quantized training set; batches are sampled
-    # on-device (per-step host->device uploads would be tunnel-bound).
-    ds_img = jnp.asarray((imgs * 255).astype(np.uint8))
-    ds_lab = jnp.asarray(labs.astype(np.uint8))
+    if load_params:
+        from deeplabv3plus_augmented_superresolution_tpu.models import (
+            build_model,
+        )
+        params, _ = build_model(train_cfg, params=params,
+                                weights_path=load_params)
+        all_losses = [float("nan")]
+        train_s = 0.0
+        log(f"[quality_demo] loaded params from {load_params} "
+            "(training skipped)")
+    else:
+        # One upload of the whole quantized training set; batches are sampled
+        # on-device (per-step host->device uploads would be tunnel-bound).
+        ds_img = jnp.asarray((imgs * 255).astype(np.uint8))
+        ds_lab = jnp.asarray(labs.astype(np.uint8))
 
-    tx = optax.adam(lr)
-    opt_state = tx.init(params)
-    step = make_train_step(train_cfg, tx, bn_momentum=0.9, remat=remat)
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+        step = make_train_step(train_cfg, tx, bn_momentum=0.9, remat=remat)
 
-    def train_chunk(params, opt_state, data_img, data_lab, keys):
-        def body(carry, key):
-            p, o = carry
-            idx = jax.random.randint(key, (train_batch,), 0,
-                                     data_img.shape[0])
-            im = data_img[idx].astype(jnp.float32) / 255.0
-            lb = data_lab[idx].astype(jnp.int32)
-            p, o, loss = step(p, o, im, lb)
-            return (p, o), loss
+        def train_chunk(params, opt_state, data_img, data_lab, keys):
+            def body(carry, key):
+                p, o = carry
+                idx = jax.random.randint(key, (train_batch,), 0,
+                                         data_img.shape[0])
+                im = data_img[idx].astype(jnp.float32) / 255.0
+                lb = data_lab[idx].astype(jnp.int32)
+                p, o, loss = step(p, o, im, lb)
+                return (p, o), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), keys)
-        return params, opt_state, losses
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
 
-    train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
-    key = jax.random.key(seed)
-    chunk = 50
-    t0 = time.time()
-    all_losses = []
-    done = 0
-    while done < train_steps:
-        n = min(chunk, train_steps - done)
-        keys = jax.random.split(jax.random.fold_in(key, done), n)
-        params, opt_state, losses = train_chunk(params, opt_state,
-                                                ds_img, ds_lab, keys)
-        all_losses.extend(np.asarray(losses).tolist())
-        done += n
-        log(f"[quality_demo] step {done}/{train_steps} "
-            f"loss {all_losses[-1]:.4f}")
-    train_s = time.time() - t0
-    log(f"[quality_demo] trained {train_steps} steps in {train_s:.1f}s "
-        f"(loss {all_losses[0]:.3f} -> {all_losses[-1]:.4f})")
+        train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
+        key = jax.random.key(seed)
+        chunk = 50
+        t0 = time.time()
+        all_losses = []
+        done = 0
+        while done < train_steps:
+            n = min(chunk, train_steps - done)
+            keys = jax.random.split(jax.random.fold_in(key, done), n)
+            params, opt_state, losses = train_chunk(params, opt_state,
+                                                    ds_img, ds_lab, keys)
+            all_losses.extend(np.asarray(losses).tolist())
+            done += n
+            log(f"[quality_demo] step {done}/{train_steps} "
+                f"loss {all_losses[-1]:.4f}")
+        train_s = time.time() - t0
+        log(f"[quality_demo] trained {train_steps} steps in {train_s:.1f}s "
+            f"(loss {all_losses[0]:.3f} -> {all_losses[-1]:.4f})")
     if save_params:
         from deeplabv3plus_augmented_superresolution_tpu.models import (
             save_params_npz,
@@ -227,7 +244,8 @@ def run_demo(backbone: str = "xception", size: int = 512,
         "train_loss_final": all_losses[-1], "train_s": round(train_s, 1),
         "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
         "class_id": class_id, "th_factor": th_factor,
-        "serving": serving, "eval_s": round(eval_s, 1),
+        "serving": serving, "loaded_params": load_params or None,
+        "eval_s": round(eval_s, 1),
         "iou": means, "iou_with_bg": means_bg,
         "aug_minus_standard": round(means["aug"] - means["standard"], 4),
         "aug_win_rate_vs_standard": wins,
@@ -290,6 +308,10 @@ def main():
     ap.add_argument("--save_params", default="",
                     help="save the trained params as .npz (drop-in for any "
                          "CLI's --weights_path)")
+    ap.add_argument("--load_params", default="",
+                    help="skip training, evaluate this .npz checkpoint "
+                         "(same seed => identical held-out scenes as the "
+                         "run that saved it — exact paired comparisons)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the training forward (2x forward "
                          "FLOPs for the activation memory — enables "
@@ -309,8 +331,8 @@ def main():
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
               serving=args.serving, save_dir=args.save_dir,
-              save_params=args.save_params, th_sweep=args.th_sweep,
-              remat=args.remat)
+              save_params=args.save_params, load_params=args.load_params,
+              th_sweep=args.th_sweep, remat=args.remat)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter
