@@ -95,8 +95,24 @@ class SRConfig:
     # Total stencil applies = cg_outer * cg_inner — the default 6x15=90 is
     # >3x fewer iterations than the 300-step Adam reference at equal or
     # better final objective (tests/test_gram.py).
+    #
+    # CAVEAT (measured, NOTES.md round-3 "CG investigation"): reaching the
+    # objective's TRUE minimizer is not always what you want. On real
+    # model-mask observations (inconsistent per-copy argmax masks) the
+    # minimizer carries a ~0.2 background pedestal — converged, not an IRLS
+    # artifact — which collapses max-relative thresholding at th_factor 0.2.
+    # The reference's published quality rests on 300-step lr-decayed Adam as
+    # IMPLICIT REGULARIZATION (its lr decays to 2.4e-6; it never converges).
+    # Hence "gram" (identical trajectory to the reference) is the production
+    # default; use "cg" for consistent-observation recovery problems, where
+    # its lower objective does translate to better IoU
+    # (scripts/ab_cg_vs_adam.py: +1.9 pt on 10/10).
     cg_outer: int = 6
     cg_inner: int = 15
+    # IRLS smoothing floor for the TV majorizer weights w = 0.5/max(|g|, eps)
+    # (experimented 1e-3..5e-2: no effect on the pedestal above — it is the
+    # minimizer, not a smoothing artifact).
+    cg_eps: float = 1e-3
     # Number of REAL copies when the aug axis is padded for mesh sharding
     # (GSPMD needs the sharded dim divisible by the "aug" axis size, so e.g.
     # 100 copies on 8 shards run as num_aug=104 / num_valid=100 with
@@ -408,7 +424,7 @@ def _cg_solve(target, lr_masks, angles, shifts, cfg: SRConfig, copy_weights,
     coeffs, b, y_const = _gram_system(target, lr_masks, angles, shifts, cfg,
                                       copy_weights, gram_coeffs)
     rhs = cfg.lambda_df * b
-    eps = 1e-3  # masks live in [0, 1]
+    eps = cfg.cg_eps  # masks live in [0, 1]
 
     from ..ops.gradients import image_gradients
 

@@ -20,6 +20,16 @@ through the real fused operator at the reference's production configuration
 with both arms, compare recovered masks and final TRUE objectives.
 
 Run on the TPU chip:  python scripts/ab_cg_vs_adam.py [--num_images 10]
+
+OUTCOME CAVEAT (round 3, measured — NOTES.md "CG investigation"): on these
+CONSISTENT observations CG is strictly better (+1.9 pt IoU, lower objective
+10/10) — but real model masks of warped copies carry structured false
+positives, the objective's true minimizer fits their vote average (~0.2
+background pedestal), and th_factor-0.2 quality collapses (aug IoU 0.20 vs
+gram's 0.92 on the trained-model A/B). "Wins this A/B" is therefore NOT a
+sufficient condition for the production default; gram+Adam (the reference
+trajectory, robust via early stopping) is the default and CG is opt-in.
+Regression: tests/test_gram.py::test_default_solver_robust_to_model_garbage_votes.
 """
 
 import argparse

@@ -44,7 +44,8 @@ def run_demo(backbone: str = "xception", size: int = 512,
              train_set: int = 128, lr: float = 1e-3, alpha: float = 1.0,
              eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
-             serving: bool = False, compute_dtype: str = "bfloat16",
+             serving: bool = False, solver: str = "gram",
+             compute_dtype: str = "bfloat16",
              save_dir: str = "", save_params: str = "",
              load_params: str = "",
              th_sweep: bool = False, remat: bool = False,
@@ -168,7 +169,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
     sr_cfg = SRConfig(
         lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7, num_iter=num_iter,
         num_aug=num_aug, feature_size=(feat, feat), output_size=(size, size),
-        angle_max=0.16, solver_impl="gram",
+        angle_max=0.16, solver_impl=solver,
         optimizer=OptimizerConfig(learning_rate=1e-3, amsgrad=True,
                                   lr_scheduler=True, decay_steps=60,
                                   decay_rate=0.3))
@@ -243,7 +244,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
         "backbone": backbone, "size": size, "train_steps": train_steps,
         "train_loss_final": all_losses[-1], "train_s": round(train_s, 1),
         "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
-        "class_id": class_id, "th_factor": th_factor,
+        "class_id": class_id, "th_factor": th_factor, "solver": solver,
         "serving": serving, "loaded_params": load_params or None,
         "eval_s": round(eval_s, 1),
         "iou": means, "iou_with_bg": means_bg,
@@ -301,6 +302,13 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--serving", action="store_true",
                     help="fixed TTA set + precomputed Gram stencil")
+    ap.add_argument("--solver", default="gram",
+                    choices=["gram", "cg", "direct"],
+                    help="aug-SR solver (gram = reference-trajectory Adam on "
+                         "the Gram data term, the production default; cg = "
+                         "opt-in IRLS-CG — lower objective but NOT "
+                         "quality-robust to model garbage votes, see NOTES "
+                         "'CG investigation'; direct = per-iteration warps)")
     ap.add_argument("--quick", action="store_true",
                     help="small CPU-friendly configuration")
     ap.add_argument("--save_dir", default="",
@@ -330,7 +338,8 @@ def main():
               eval_images=args.eval_images, num_aug=args.num_aug,
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
-              serving=args.serving, save_dir=args.save_dir,
+              serving=args.serving, solver=args.solver,
+              save_dir=args.save_dir,
               save_params=args.save_params, load_params=args.load_params,
               th_sweep=args.th_sweep, remat=args.remat)
     if args.quick:

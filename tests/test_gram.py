@@ -183,6 +183,92 @@ def test_cg_solver_matches_adam_quality_at_3x_fewer_iterations():
     assert iou_of(est_cg) >= iou_of(est_adam) - 1e-6
 
 
+def test_default_solver_robust_to_model_garbage_votes():
+    """Why gram+Adam (the reference trajectory) is the production default
+    and IRLS-CG is opt-in (run_asr round-3 revert; NOTES.md "CG
+    investigation").
+
+    Real model masks of warped TTA copies contain structured false
+    positives — a brittle model mislabels parts of the warped content
+    (measured on-chip: 28% of valid pixels claim the class vs 8.3% true).
+    The SR objective's TRUE minimizer then fits the garbage-vote average,
+    raising the background toward (votes/copies) and collapsing
+    max-relative thresholding at th_factor 0.2; 300-step lr-decayed Adam
+    (the reference's solver, its lr decays to ~2.4e-6 — it never converges)
+    acts as implicit regularization and keeps thresholded quality.
+
+    This test reproduces that regime CPU-sized: consistent binarized
+    observations plus per-copy false-positive blobs. It pins
+    (a) the production default stays quality-robust, and (b) the trade-off
+    is real — CG reaches a LOWER objective yet a far WORSE mask, so
+    "better optimizer" must never be the only promotion criterion again.
+    """
+    import dataclasses
+
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+        single_class_iou,
+    )
+    from deeplabv3plus_augmented_superresolution_tpu.sr.postprocess import (
+        threshold_image,
+    )
+
+    hr, lr, n = 64, 16, 16
+    rng = np.random.default_rng(3)
+    angles = rng.uniform(-0.14, 0.14, n).astype(np.float32)
+    shifts = rng.uniform(-8, 8, (n, 2)).astype(np.float32)
+    angles[0] = 0.0
+    shifts[0] = 0.0
+    angles, shifts = jnp.asarray(angles), jnp.asarray(shifts)
+    yy, xx = np.mgrid[0:hr, 0:hr]
+    gt = ((((yy - 30) / 14.0) ** 2 + ((xx - 34) / 18.0) ** 2) <= 1.0
+          ).astype(np.float32)
+
+    def mk(solver):
+        # Production lambdas + the reference's exact optimizer config
+        # (lr 1e-3, amsgrad, ExponentialDecay 60/0.3 — SR_single_class.py).
+        return SRConfig(lambda_df=1.0, lambda_tv=0.3, lambda_L2=0.7,
+                        num_iter=300, num_aug=n, feature_size=(lr, lr),
+                        output_size=(hr, hr), angle_max=0.16,
+                        solver_impl=solver,
+                        optimizer=OptimizerConfig(
+                            learning_rate=1e-3, amsgrad=True,
+                            lr_scheduler=True, decay_steps=60,
+                            decay_rate=0.3))
+
+    obs = np.asarray(forward_operator(jnp.asarray(gt)[None, ..., None]
+                                      .repeat(n, 0), angles, shifts,
+                                      (lr, lr), mk("gram")))
+    obs = (obs > 0.5).astype(np.float32)  # argmax-like binary LR masks
+    for i in range(1, n):  # per-copy false-positive blobs (~15% of frame)
+        r = np.random.default_rng(100 + i)
+        for _ in range(3):
+            cy, cx = r.uniform(2, 14, 2)
+            rad = r.uniform(2.0, 3.5)
+            by, bx = np.mgrid[0:lr, 0:lr]
+            blob = ((by - cy) ** 2 + (bx - cx) ** 2) <= rad ** 2
+            obs[i, ..., 0] = np.maximum(obs[i, ..., 0],
+                                        blob.astype(np.float32))
+    obs = jnp.asarray(obs)
+    gt_lab = (gt * 8).astype(np.int32)
+
+    def solve(solver):
+        est, loss = augmented_superresolution(obs, angles, shifts, mk(solver))
+        mask = np.asarray(threshold_image(est, 8, th_factor=0.2))
+        return (float(single_class_iou(gt_lab, mask[..., 0], 8)),
+                float(loss), float(np.median(np.asarray(est))))
+
+    iou_gram, loss_gram, med_gram = solve("gram")
+    iou_cg, loss_cg, med_cg = solve("cg")
+    # (a) the production default survives garbage votes at th 0.2
+    assert iou_gram > 0.8, (iou_gram, med_gram)
+    assert med_gram < 0.05
+    # (b) the trade-off this test documents: CG minimizes better and masks
+    # worse. If CG ever passes the gram bar here, the default choice should
+    # be revisited — loosen these two asserts, don't chase them.
+    assert loss_cg < loss_gram
+    assert iou_cg < iou_gram - 0.2, (iou_cg, iou_gram)
+
+
 def test_precomputed_stencil_solve_matches_inline_extraction():
     """Passing precompute_gram_stencil's coefficients into the solve must
     reproduce the inline-extraction gram solve exactly (serving-mode path)."""
