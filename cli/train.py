@@ -125,6 +125,12 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the forward (~2x forward FLOPs for "
                          "the activation memory; for high-res batches)")
+    ap.add_argument("--skip_nonfinite", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="atomically skip steps whose loss/grads are "
+                         "non-finite (degenerate batches — e.g. all-constant "
+                         "images — blow up BN's backward on TPU; see "
+                         "models/train.py). --no-skip_nonfinite disables")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8,
                     help="GLOBAL batch size (divides across the mesh)")
@@ -205,24 +211,15 @@ def main():
             ap.error(f"--batch {args.batch} must divide the {mesh.size}-device"
                      " mesh")
         step = make_sharded_train_step(mesh, cfg, tx,
-                                       bn_momentum=args.bn_momentum)
-        if args.remat:
-            # make_sharded_train_step builds its own step; rebuild with remat.
-            from deeplabv3plus_augmented_superresolution_tpu.models import (
-                build_train_step)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
-            batch_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-            step = jax.jit(build_train_step(cfg, tx, args.bn_momentum,
-                                            remat=True),
-                           in_shardings=(repl, repl, batch_sh, batch_sh),
-                           out_shardings=(repl, repl, repl),
-                           donate_argnums=(0, 1))
+                                       bn_momentum=args.bn_momentum,
+                                       remat=args.remat,
+                                       skip_nonfinite=args.skip_nonfinite)
         print(f"[train] data-parallel over {mesh.size} devices "
               f"(mesh {dict(mesh.shape)})")
     else:
         step = make_train_step(cfg, tx, bn_momentum=args.bn_momentum,
-                               remat=args.remat)
+                               remat=args.remat,
+                               skip_nonfinite=args.skip_nonfinite)
 
     rng = np.random.default_rng(args.seed)
     losses, evals = [], {}

@@ -81,7 +81,8 @@ def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
-                     bn_momentum: float = 0.9, remat: bool = False):
+                     bn_momentum: float = 0.9, remat: bool = False,
+                     skip_nonfinite: bool = False):
     """The unjitted train step: step(params, opt_state, images, labels) ->
     (params, opt_state, loss). make_train_step jits it for one device;
     parallel.make_sharded_train_step jits the SAME function with mesh
@@ -93,6 +94,18 @@ def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
     batches on one chip's HBM (the unremat'd xception forward keeps ~60
     sepconv activations alive). Numerics are identical (same ops, same
     order; pinned by tests/test_training.py).
+
+    skip_nonfinite=True makes the step ATOMIC against bad batches: when the
+    loss or any gradient is non-finite, params, optimizer state AND the BN
+    moving statistics pass through unchanged (the loss is still returned so
+    the caller can count skips). Why this exists: a zero-variance batch
+    (e.g. all-constant images from a data bug) sends BN's backward into
+    catastrophic cancellation — (g - mean(g)) is exactly zero on CPU but
+    leaves reassociation residuals on TPU that the per-layer gamma/sqrt(eps)
+    ~ 31.6x scales amplify through ~60 BN layers into Inf (measured: loss
+    finite, 202 non-finite grads, NaN params one step later). Real batches
+    have O(1) variance and are unaffected, so the guard costs one
+    isfinite reduction per leaf.
     """
     fwd = forward_train
     if remat:
@@ -107,23 +120,33 @@ def build_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
             return segmentation_loss(logits, labels), stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = update_bn_stats(params, stats, momentum=bn_momentum)
-        return params, opt_state, loss
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = update_bn_stats(new_params, stats, momentum=bn_momentum)
+        if not skip_nonfinite:
+            return new_params, new_opt_state, loss
+        ok = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            ok = ok & jnp.all(jnp.isfinite(g))
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        return keep(new_params, params), keep(new_opt_state, opt_state), loss
 
     return step
 
 
 def make_train_step(cfg: DeepLabConfig, tx: optax.GradientTransformation,
-                    bn_momentum: float = 0.9, remat: bool = False):
+                    bn_momentum: float = 0.9, remat: bool = False,
+                    skip_nonfinite: bool = False):
     """Build a jitted segmentation train step.
 
     step(params, opt_state, images, labels) -> (params, opt_state, loss)
     with images (B, H, W, 3) f32 in [0, 1] and labels (B, H, W) int
     (255 = ignore). BN moving stats ride along via EMA of the batch stats, so
     the returned params are directly usable by the inference-mode forward.
-    remat=True trades ~2x forward FLOPs for the activation memory (see
-    build_train_step) — use for high-resolution training.
+    remat=True trades ~2x forward FLOPs for the activation memory;
+    skip_nonfinite=True makes the step a no-op on non-finite loss/grads
+    (see build_train_step for both).
     """
-    return jax.jit(build_train_step(cfg, tx, bn_momentum, remat=remat))
+    return jax.jit(build_train_step(cfg, tx, bn_momentum, remat=remat,
+                                    skip_nonfinite=skip_nonfinite))

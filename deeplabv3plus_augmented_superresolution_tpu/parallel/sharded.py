@@ -119,7 +119,9 @@ def make_asr_batch_fn(mesh: Mesh, model_cfg: DeepLabConfig, sr_cfg: SRConfig,
 
 
 def make_sharded_train_step(mesh: Mesh, model_cfg: DeepLabConfig, tx,
-                            bn_momentum: float = 0.9):
+                            bn_momentum: float = 0.9,
+                            remat: bool = False,
+                            skip_nonfinite: bool = False):
     """Data-parallel train step over the whole mesh (models/train.py jitted
     with mesh shardings).
 
@@ -140,7 +142,8 @@ def make_sharded_train_step(mesh: Mesh, model_cfg: DeepLabConfig, tx,
 
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-    return jax.jit(build_train_step(model_cfg, tx, bn_momentum),
+    return jax.jit(build_train_step(model_cfg, tx, bn_momentum, remat=remat,
+                                    skip_nonfinite=skip_nonfinite),
                    in_shardings=(repl, repl, batch, batch),
                    out_shardings=(repl, repl, repl),
                    donate_argnums=(0, 1))

@@ -306,6 +306,52 @@ def test_sharded_train_step_matches_single_device():
         shard_train_batch(mesh, jnp.asarray(imgs[:3]), jnp.asarray(labs[:3]))
 
 
+def test_skip_nonfinite_step_is_atomic():
+    """skip_nonfinite=True: a batch that produces non-finite loss/grads must
+    leave params, optimizer state AND BN moving stats bit-identical, and a
+    good step right after must behave as if the bad one never happened.
+    Why: on TPU a zero-variance batch turns BN's backward cancellation
+    (g - mean(g), exactly zero on CPU) into reassociation residuals that
+    the per-layer gamma/sqrt(eps) scales amplify into Inf across ~60 BN
+    layers — measured on-chip: finite loss, 202 non-finite grads, NaN
+    params one step later. CPU can't reproduce that, so this test injects
+    NaN images instead (NaN forward => NaN loss/grads/batch-stats, covering
+    the BN-EMA leg of the guard too)."""
+    cfg = DeepLabConfig(input_shape=(32, 32, 3), classes=21,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    rng = np.random.default_rng(11)
+    imgs, labs = synthetic_batch(rng, 2, size=(32, 32), class_ids=(8,))
+    bad_imgs = imgs.copy()
+    bad_imgs[0, :4, :4, :] = np.nan
+    tx = optax.adam(1e-3)
+
+    params = init_params(cfg, seed=0)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx, skip_nonfinite=True)
+
+    p1, o1, bad_loss = step(params, opt, bad_imgs, labs)
+    assert not np.isfinite(float(bad_loss))  # reported, so callers can count
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # The good step after a skipped one == the good step from scratch.
+    p2, o2, loss2 = step(p1, o1, imgs, labs)
+    p_ref, _, loss_ref = step(params, opt, imgs, labs)
+    assert float(loss2) == pytest.approx(float(loss_ref), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Default (guard off) preserves the raw semantics: the bad batch DOES
+    # corrupt params — documents why the CLI turns the guard on.
+    step_raw = make_train_step(cfg, tx)
+    p_raw, _, _ = step_raw(params, opt, bad_imgs, labs)
+    assert not all(bool(np.isfinite(np.asarray(x)).all())
+                   for x in jax.tree.leaves(p_raw))
+
+
 def test_train_cli_checkpoints_and_resumes(tmp_path, monkeypatch):
     """cli/train.py end to end (in-process): synthetic data on the
     device-resident lax.scan path, periodic .npz checkpoints, a JSON summary,
