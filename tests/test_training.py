@@ -391,6 +391,47 @@ def test_train_cli_checkpoints_and_resumes(tmp_path, monkeypatch):
     assert run2["loss_first"] < run1["loss_first"] - 0.5
 
 
+def test_train_cli_voc_data_path(tmp_path, monkeypatch):
+    """cli/train.py --data voc end to end on a tiny fake VOC tree: the
+    prefetching dataset loader, host augmentation and the per-step
+    device_put path (the non-scan branch) all compose."""
+    import runpy
+    import sys
+
+    from PIL import Image
+
+    voc = tmp_path / "VOC2012"
+    (voc / "JPEGImages").mkdir(parents=True)
+    (voc / "SegmentationClassAug").mkdir()
+    (voc / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = [f"2007_00000{i}" for i in range(4)]
+    for name in names:
+        img = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+        Image.fromarray(img).save(voc / "JPEGImages" / f"{name}.jpg")
+        gt = np.zeros((96, 96), np.uint8)
+        gt[20:60, 30:70] = 8
+        Image.fromarray(gt, mode="L").save(
+            voc / "SegmentationClassAug" / f"{name}.png")
+    (voc / "ImageSets" / "Segmentation" / "trainaug.txt").write_text(
+        "\n".join(names))
+
+    cli_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cli")
+    monkeypatch.syspath_prepend(cli_dir)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--data", "voc", "--pascal_root", str(voc), "--augment",
+        "--backbone", "mobilenet", "--alpha", "0.35", "--size", "64",
+        "--steps", "3", "--batch", "2", "--log_every", "1",
+        "--save_params", str(tmp_path / "voc_params.npz"),
+        "--out", str(tmp_path / "voc_run.json")])
+    runpy.run_path(os.path.join(cli_dir, "train.py"), run_name="__main__")
+    run = json.loads((tmp_path / "voc_run.json").read_text())
+    assert run["steps"] == 3 and np.isfinite(run["loss_final"])
+    assert (tmp_path / "voc_params.npz").exists()
+
+
 @pytest.mark.slow
 def test_quality_demo_end_to_end_small():
     """Train-from-scratch -> full ASR pipeline, CPU-sized. The real quality
