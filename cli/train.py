@@ -125,6 +125,15 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the forward (~2x forward FLOPs for "
                          "the activation memory; for high-res batches)")
+    ap.add_argument("--warp_augment", action="store_true",
+                    help="train on the TTA distribution: per-sample random "
+                         "rotate+translate with zero fill, black borders "
+                         "labeled background (pipeline.warp_augment_batch) "
+                         "— makes the model robust to the warped copies "
+                         "the ASR pipeline feeds it")
+    ap.add_argument("--warp_angle_max", type=float, default=0.15)
+    ap.add_argument("--warp_shift_max", type=float, default=-1.0,
+                    help="-1 = scale the production 80px to --size")
     ap.add_argument("--skip_nonfinite", default=True,
                     action=argparse.BooleanOptionalAction,
                     help="atomically skip steps whose loss/grads are "
@@ -225,6 +234,24 @@ def main():
     losses, evals = [], {}
     t0 = time.time()
 
+    shift_max = (args.warp_shift_max if args.warp_shift_max >= 0
+                 else 80.0 * args.size / 512.0)
+
+    def host_warp_augment(im, lb, seed):
+        """Apply the on-device warp augmentation to a host batch (the
+        streamed mesh/VOC paths; the synthetic scan path fuses it into the
+        jitted chunk instead)."""
+        if not args.warp_augment:
+            return im, lb
+        from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+            warp_augment_batch)
+        imj, lbj = warp_augment_batch(jax.random.key(seed),
+                                      jnp.asarray(im),
+                                      jnp.asarray(lb.astype(np.int32)),
+                                      angle_max=args.warp_angle_max,
+                                      shift_max=shift_max)
+        return np.asarray(imj), np.asarray(lbj)
+
     def maybe_checkpoint(params, done):
         if args.ckpt_dir and done % args.ckpt_every == 0:
             os.makedirs(args.ckpt_dir, exist_ok=True)
@@ -252,10 +279,17 @@ def main():
             def train_chunk(params, opt_state, data_img, data_lab, keys):
                 def body(carry, key):
                     p, o = carry
-                    idx = jax.random.randint(key, (args.batch,), 0,
+                    k_idx, k_aug = jax.random.split(key)
+                    idx = jax.random.randint(k_idx, (args.batch,), 0,
                                              data_img.shape[0])
                     im = data_img[idx].astype(jnp.float32) / 255.0
                     lb = data_lab[idx].astype(jnp.int32)
+                    if args.warp_augment:
+                        from deeplabv3plus_augmented_superresolution_tpu.pipeline import (  # noqa: E501
+                            warp_augment_batch)
+                        im, lb = warp_augment_batch(
+                            k_aug, im, lb, angle_max=args.warp_angle_max,
+                            shift_max=shift_max)
                     p, o, loss = step(p, o, im, lb)
                     return (p, o), loss
 
@@ -283,8 +317,9 @@ def main():
         else:
             for done in range(1, args.steps + 1):
                 idx = rng.integers(0, imgs.shape[0], args.batch)
-                im, lb = shard_train_batch(mesh, imgs[idx].astype(np.float32),
-                                           labs[idx].astype(np.int32))
+                im, lb = host_warp_augment(imgs[idx].astype(np.float32),
+                                           labs[idx], args.seed + done)
+                im, lb = shard_train_batch(mesh, im, lb.astype(np.int32))
                 params, opt_state, loss = step(params, opt_state, im, lb)
                 if done % args.log_every == 0 or done == args.steps:
                     losses.append(float(loss))
@@ -309,6 +344,8 @@ def main():
                                      seed=args.seed + done,
                                      augment=args.augment):
                 lb = mk[..., 0].astype(np.int32)
+                im, lb = host_warp_augment(im, lb, args.seed + done)
+                lb = lb.astype(np.int32)
                 if mesh is not None:
                     im, lb = shard_train_batch(mesh, im, lb)
                 params, opt_state, loss = step(params, opt_state, im, lb)

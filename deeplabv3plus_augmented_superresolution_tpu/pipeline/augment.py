@@ -48,6 +48,48 @@ def make_augmented_copies(image: jnp.ndarray, angles: jnp.ndarray,
     return translate(rotate(batched, angles), shifts)
 
 
+@partial(jax.jit, static_argnames=("angle_max", "shift_max", "prob",
+                                   "static_angle_max"))
+def warp_augment_batch(key: jax.Array, images: jnp.ndarray,
+                       labels: jnp.ndarray, angle_max: float = 0.15,
+                       shift_max: float = 80.0, prob: float = 0.5,
+                       static_angle_max: float = 0.16
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TTA-distribution TRAIN-time augmentation.
+
+    Applies the same per-sample random rotation (±angle_max rad) +
+    translation (±shift_max px) with zero fill that the ASR pipeline feeds
+    the model at TEST time (make_augmented_copies), so the model learns the
+    warped-copy statistics — in particular that warped-in black borders are
+    BACKGROUND. Why this matters: a model never shown warp borders
+    mislabels them and the surrounding content (measured: 28% of valid
+    pixels claiming the class vs 8.3% true — the garbage-vote failure mode,
+    NOTES.md "CG investigation").
+
+    images: (B, H, W, 3) float; labels: (B, H, W) integer (255 = void).
+    Images warp bilinear; labels warp with the label-preserving nearest
+    mode (a pixel permutation-with-fill — 255 contours survive) and the
+    zero-filled border is labeled 0 = background. Each sample is augmented
+    with probability `prob`, else identity — keeping unwarped statistics in
+    the batch mix.
+    """
+    from ..ops.shear_warp import paeth_rotate_translate
+
+    n = images.shape[0]
+    k_a, k_s, k_p = jax.random.split(key, 3)
+    angles = jax.random.uniform(k_a, (n,), jnp.float32, -angle_max, angle_max)
+    shifts = jax.random.uniform(k_s, (n, 2), jnp.float32,
+                                -shift_max, shift_max)
+    take = (jax.random.uniform(k_p, (n,)) < prob).astype(jnp.float32)
+    angles = angles * take
+    shifts = shifts * take[:, None]
+    out_img = paeth_rotate_translate(images, angles, shifts,
+                                     static_angle_max)
+    lab = paeth_rotate_translate(labels.astype(jnp.float32), angles, shifts,
+                                 static_angle_max, interpolation="nearest")
+    return out_img, lab.astype(labels.dtype)
+
+
 def create_augmented_copies(image: jnp.ndarray, num_aug: int, angle_max: float,
                             shift_max: float, key: jax.Array,
                             warp_impl: str = "shear"):

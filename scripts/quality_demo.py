@@ -49,6 +49,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
              save_dir: str = "", save_params: str = "",
              load_params: str = "",
              th_sweep: bool = False, remat: bool = False,
+             warp_augment: bool = False,
              verbose: bool = True):
     import jax
     import jax.numpy as jnp
@@ -127,10 +128,21 @@ def run_demo(backbone: str = "xception", size: int = 512,
         def train_chunk(params, opt_state, data_img, data_lab, keys):
             def body(carry, key):
                 p, o = carry
-                idx = jax.random.randint(key, (train_batch,), 0,
+                k_idx, k_aug = jax.random.split(key)
+                idx = jax.random.randint(k_idx, (train_batch,), 0,
                                          data_img.shape[0])
                 im = data_img[idx].astype(jnp.float32) / 255.0
                 lb = data_lab[idx].astype(jnp.int32)
+                if warp_augment:
+                    # Train on the TTA distribution (black borders = bg) so
+                    # the model is robust to the warped copies the ASR
+                    # pipeline feeds it (pipeline.warp_augment_batch).
+                    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (  # noqa: E501
+                        warp_augment_batch,
+                    )
+                    im, lb = warp_augment_batch(
+                        k_aug, im, lb, angle_max=0.15,
+                        shift_max=80.0 * tsz / 512.0)
                 p, o, loss = step(p, o, im, lb)
                 return (p, o), loss
 
@@ -248,6 +260,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
         "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
         "class_id": class_id, "th_factor": th_factor, "solver": solver,
         "serving": serving, "loaded_params": load_params or None,
+        "warp_augment": warp_augment,
         "eval_s": round(eval_s, 1),
         "iou": means, "iou_with_bg": means_bg,
         "aug_minus_standard": round(means["aug"] - means["standard"], 4),
@@ -330,6 +343,12 @@ def main():
                     help="per-arm threshold sweep on the continuous SR "
                          "targets (one solve per image, thresholds applied "
                          "after — the reference's threshold_tests design)")
+    ap.add_argument("--warp_augment", action="store_true",
+                    help="train on the TTA distribution (random "
+                         "rotate+translate, black borders labeled "
+                         "background) so the model is robust to warped "
+                         "copies — the garbage-vote fix, NOTES 'CG "
+                         "investigation'")
     ap.add_argument("--out", default="quality_demo.json")
     args = ap.parse_args()
 
@@ -343,7 +362,8 @@ def main():
               serving=args.serving, solver=args.solver,
               save_dir=args.save_dir,
               save_params=args.save_params, load_params=args.load_params,
-              th_sweep=args.th_sweep, remat=args.remat)
+              th_sweep=args.th_sweep, remat=args.remat,
+              warp_augment=args.warp_augment)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter

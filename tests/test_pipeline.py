@@ -46,6 +46,45 @@ def test_sample_augmentations_deterministic():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
 
+def test_warp_augment_batch_label_semantics():
+    """Train-time TTA augmentation (pipeline.warp_augment_batch): labels stay
+    a SUBSET of the originals plus the background fill (nearest = pixel
+    permutation-with-fill, no blended labels), warped-in borders are labeled
+    0 = background, prob=0 is the identity, and images/labels move together
+    (fg label mass tracks the warped fg color mass)."""
+    from deeplabv3plus_augmented_superresolution_tpu.pipeline import (
+        warp_augment_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    b, hw = 4, 64
+    images = rng.uniform(0, 1, (b, hw, hw, 3)).astype(np.float32)
+    labels = np.zeros((b, hw, hw), np.int32)
+    labels[:, 20:44, 24:48] = 8
+    labels[:, 20, 24] = 255  # a void pixel must survive as 255, not blend
+    images[labels == 8] = 1.0
+
+    im0, lb0 = warp_augment_batch(jax.random.key(0), jnp.asarray(images),
+                                  jnp.asarray(labels), angle_max=0.15,
+                                  shift_max=10.0, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(lb0), labels)
+    np.testing.assert_allclose(np.asarray(im0), images, atol=1e-6)
+
+    im1, lb1 = warp_augment_batch(jax.random.key(1), jnp.asarray(images),
+                                  jnp.asarray(labels), angle_max=0.15,
+                                  shift_max=12.0, prob=1.0)
+    lb1 = np.asarray(lb1)
+    assert lb1.dtype == labels.dtype
+    assert set(np.unique(lb1)) <= {0, 8, 255}
+    assert (lb1 != labels).any()  # something actually moved
+    # fg label mass is conserved up to what left the frame / border rounding
+    fg_in, fg_out = (labels == 8).sum(), (lb1 == 8).sum()
+    assert 0.7 * fg_in <= fg_out <= 1.05 * fg_in
+    # labels track the image: fg pixels still sit on the bright fg color
+    im1 = np.asarray(im1)
+    assert im1[lb1 == 8].mean() > 0.9
+
+
 def test_augmented_feature_maps_shapes_and_chunking(small_model):
     cfg, params = small_model
     img = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (64, 64, 3)).astype(np.float32))
