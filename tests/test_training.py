@@ -390,6 +390,17 @@ def test_train_cli_checkpoints_and_resumes(tmp_path, monkeypatch):
     # Scratch CE starts near ln(21) ~ 3.0; a resumed model must not.
     assert run2["loss_first"] < run1["loss_first"] - 0.5
 
+    # Remaining optimizer/schedule branches in one extra run: sgd+nesterov,
+    # exponential decay, gradient clipping, warp augmentation, periodic eval.
+    monkeypatch.setattr(sys, "argv", base + [
+        "--steps", "4", "--optimizer", "sgd", "--lr_schedule", "exponential",
+        "--decay_steps", "2", "--decay_rate", "0.5", "--grad_clip", "1.0",
+        "--warp_augment", "--eval_every", "4",
+        "--out", str(tmp_path / "run3.json")])
+    runpy.run_path(script, run_name="__main__")
+    run3 = json.loads((tmp_path / "run3.json").read_text())
+    assert np.isfinite(run3["loss_final"]) and run3["evals"], run3
+
 
 def test_train_cli_voc_data_path(tmp_path, monkeypatch):
     """cli/train.py --data voc end to end on a tiny fake VOC tree: the
