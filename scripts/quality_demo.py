@@ -45,6 +45,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
              eval_images: int = 20, num_aug: int = 100, num_iter: int = 300,
              class_id: int = 8, th_factor: float = 0.65, seed: int = 1234,
              serving: bool = False, solver: str = "gram",
+             mode: str = "argmax",
              compute_dtype: str = "bfloat16",
              save_dir: str = "", save_params: str = "",
              load_params: str = "",
@@ -224,7 +225,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
                 jax.random.fold_in(jax.random.key(seed + 1), i),
                 num_aug, 0.15, shift_max)
         out = asr_step(params, jnp.asarray(eval_imgs[i]), angles, shifts,
-                       model_cfg, sr_cfg, class_id=class_id, mode="argmax",
+                       model_cfg, sr_cfg, class_id=class_id, mode=mode,
                        th_factor=th_factor, gram_coeffs=gram_coeffs,
                        return_targets=th_sweep)
         gt = eval_labs[i]
@@ -259,6 +260,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
         "train_loss_final": all_losses[-1], "train_s": round(train_s, 1),
         "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
         "class_id": class_id, "th_factor": th_factor, "solver": solver,
+        "mode": mode,
         "serving": serving, "loaded_params": load_params or None,
         "warp_augment": warp_augment,
         "eval_s": round(eval_s, 1),
@@ -324,6 +326,13 @@ def main():
                          "opt-in IRLS-CG — lower objective but NOT "
                          "quality-robust to model garbage votes, see NOTES "
                          "'CG investigation'; direct = per-iteration warps)")
+    ap.add_argument("--mode", default="argmax",
+                    choices=["argmax", "slice", "slice_max"],
+                    help="output processing mode (reference "
+                         "augmentation_utils.py:80-115). The reference's "
+                         "published per-class validations order the OPMs "
+                         "argmax (0.6841) > slice_var (0.6103) > slice_max "
+                         "(0.4849) — BASELINE.md rows 1/5/6")
     ap.add_argument("--quick", action="store_true",
                     help="small CPU-friendly configuration")
     ap.add_argument("--save_dir", default="",
@@ -359,7 +368,7 @@ def main():
               eval_images=args.eval_images, num_aug=args.num_aug,
               num_iter=args.num_iter, class_id=args.class_id,
               th_factor=args.th_factor, seed=args.seed,
-              serving=args.serving, solver=args.solver,
+              serving=args.serving, solver=args.solver, mode=args.mode,
               save_dir=args.save_dir,
               save_params=args.save_params, load_params=args.load_params,
               th_sweep=args.th_sweep, remat=args.remat,
