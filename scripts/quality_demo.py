@@ -50,7 +50,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
              save_dir: str = "", save_params: str = "",
              load_params: str = "",
              th_sweep: bool = False, remat: bool = False,
-             warp_augment: bool = False,
+             warp_augment: bool = False, hard: bool = False,
              verbose: bool = True):
     import jax
     import jax.numpy as jnp
@@ -81,6 +81,13 @@ def run_demo(backbone: str = "xception", size: int = 512,
         if verbose:
             print(msg, flush=True)
 
+    if th_sweep and mode == "slice_max":
+        # slice_max arms threshold via the class-vs-max mask and ignore
+        # th_factor entirely (sr/postprocess.py), so a th_factor sweep would
+        # measure a thresholding rule the mode never uses.
+        raise ValueError("--th_sweep is meaningless with --mode slice_max: "
+                         "slice_max thresholds class-vs-max, not th_factor")
+
     rng = np.random.default_rng(seed)
     class_ids = (class_id, 12 if class_id != 12 else 15)
 
@@ -105,14 +112,14 @@ def run_demo(backbone: str = "xception", size: int = 512,
     # paired comparisons (e.g. strict vs --serving on the same checkpoint
     # and scenes) exact.
     imgs, labs = synthetic_batch(rng, train_set, size=(tsz, tsz),
-                                 class_ids=class_ids)
+                                 class_ids=class_ids, hard=hard)
     if load_params:
         from deeplabv3plus_augmented_superresolution_tpu.models import (
             build_model,
         )
         params, _ = build_model(train_cfg, params=params,
                                 weights_path=load_params)
-        all_losses = [float("nan")]
+        all_losses = []  # training skipped -> train_loss_final emitted as null
         train_s = 0.0
         log(f"[quality_demo] loaded params from {load_params} "
             "(training skipped)")
@@ -192,7 +199,7 @@ def run_demo(backbone: str = "xception", size: int = 512,
 
     eval_imgs, eval_labs = synthetic_batch(
         rng, eval_images, size=(size, size), class_ids=class_ids,
-        require_class=class_id)
+        require_class=class_id, hard=hard)
 
     gram_coeffs = None
     fixed = None
@@ -257,12 +264,15 @@ def run_demo(backbone: str = "xception", size: int = 512,
                                                  ious["standard"])]))
     result = {
         "backbone": backbone, "size": size, "train_steps": train_steps,
-        "train_loss_final": all_losses[-1], "train_s": round(train_s, 1),
+        "train_loss_final": all_losses[-1] if all_losses else None,
+        "train_s": round(train_s, 1),
         "eval_images": eval_images, "num_aug": num_aug, "num_iter": num_iter,
         "class_id": class_id, "th_factor": th_factor, "solver": solver,
+        "th_factor_note": ("inert: slice_max thresholds class-vs-max"
+                           if mode == "slice_max" else None),
         "mode": mode,
         "serving": serving, "loaded_params": load_params or None,
-        "warp_augment": warp_augment,
+        "warp_augment": warp_augment, "hard_scenes": hard,
         "eval_s": round(eval_s, 1),
         "iou": means, "iou_with_bg": means_bg,
         "aug_minus_standard": round(means["aug"] - means["standard"], 4),
@@ -352,6 +362,13 @@ def main():
                     help="per-arm threshold sweep on the continuous SR "
                          "targets (one solve per image, thresholds applied "
                          "after — the reference's threshold_tests design)")
+    ap.add_argument("--hard", action="store_true",
+                    help="de-saturated scene recipe (data/synthetic.py "
+                         "hard=True): textured clutter, near-class-hue "
+                         "distractors, thin/small structures, occlusion, "
+                         "illumination + blur + noise — standard-arm IoU "
+                         "lands ~0.8-0.88 instead of ~0.95, so arm margins "
+                         "are measured with real headroom")
     ap.add_argument("--warp_augment", action="store_true",
                     help="train on the TTA distribution (random "
                          "rotate+translate, black borders labeled "
@@ -372,7 +389,7 @@ def main():
               save_dir=args.save_dir,
               save_params=args.save_params, load_params=args.load_params,
               th_sweep=args.th_sweep, remat=args.remat,
-              warp_augment=args.warp_augment)
+              warp_augment=args.warp_augment, hard=args.hard)
     if args.quick:
         # CPU-friendly configuration (also exercised by tests/test_training).
         # The axon sitecustomize registers the TPU plugin at interpreter
@@ -388,8 +405,21 @@ def main():
                   eval_images=4, num_aug=16, num_iter=60,
                   compute_dtype="float32")
     result = run_demo(**kw)
+
+    def sanitize(x):
+        # Keep the artifact strict JSON: bare NaN/Infinity are rejected by
+        # jq / JSON.parse (ADVICE r3), so map non-finite floats to null.
+        if isinstance(x, float) and not (x == x and abs(x) != float("inf")):
+            return None
+        if isinstance(x, dict):
+            return {k: sanitize(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [sanitize(v) for v in x]
+        return x
+
+    result = sanitize(result)
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(result, f, indent=2, allow_nan=False)
     print(json.dumps({k: result[k] for k in
                       ("iou", "aug_minus_standard",
                        "aug_win_rate_vs_standard")}))
