@@ -18,9 +18,11 @@ point around models/train.py:
   * device-resident synthetic dataset with lax.scan step chunks (one host
     round-trip per --log_every steps, not per step — the tunnel-latency
     pattern measured in NOTES.md),
-  * periodic mIoU eval on a held-out set, .npz checkpoints every
-    --ckpt_every steps that drop into every CLI's --weights_path, and
-    resume from any of them.
+  * periodic mIoU eval on a held-out set, full train-state .npz checkpoints
+    every --ckpt_every steps (params + optimizer moments + schedule step,
+    utils/checkpoint.py) that still drop into every CLI's --weights_path,
+    and exact resume from any of them (interrupt-at-k + resume reproduces
+    the uninterrupted loss trajectory — tests/test_training.py).
 
 Examples:
     # synthetic scratch run on the default device
@@ -163,6 +165,10 @@ def main():
                          "processes (JAX_COORDINATOR_ADDRESS et al.)")
     ap.add_argument("--train_set", type=int, default=128,
                     help="synthetic: number of generated training scenes")
+    ap.add_argument("--hard", action="store_true",
+                    help="synthetic: de-saturated hard-scene recipe "
+                         "(data/synthetic.py hard=True — clutter, "
+                         "distractors, occlusion, thin structures)")
     ap.add_argument("--class_ids", type=int, nargs="+", default=[8, 12],
                     help="synthetic: foreground class ids")
     ap.add_argument("--eval_every", type=int, default=0,
@@ -174,8 +180,11 @@ def main():
                     help="write step_<N>.npz checkpoints here")
     ap.add_argument("--ckpt_every", type=int, default=200)
     ap.add_argument("--resume", default="",
-                    help=".npz params to start from (a prior checkpoint or "
-                         "any --weights_path-compatible file)")
+                    help="checkpoint to start from. A --ckpt_dir train-state "
+                         ".npz restores params + optimizer moments + "
+                         "LR-schedule step and continues the run exactly "
+                         "(--steps more steps from there); a params-only "
+                         ".npz or .h5 warm-starts params only")
     ap.add_argument("--save_params", default="trained_params.npz",
                     help="final params .npz ('' to skip)")
     ap.add_argument("--seed", type=int, default=SEED)
@@ -201,14 +210,32 @@ def main():
         backbone=args.backbone, alpha=args.alpha, weights=None,
         final_upsample=True, compute_dtype=args.compute_dtype)
     params = init_params(cfg, seed=args.seed)
+    resume_opt_leaves, start_step = None, 0
     if args.resume:
         from deeplabv3plus_augmented_superresolution_tpu.models import (
             build_model)
         params, _ = build_model(cfg, params=params, weights_path=args.resume)
-        print(f"[train] resumed params from {args.resume}")
+        if args.resume.endswith(".npz"):
+            from deeplabv3plus_augmented_superresolution_tpu.utils import (
+                load_train_state)
+            resume_opt_leaves, start_step = load_train_state(args.resume)
+        print(f"[train] resumed params from {args.resume}"
+              + (f" at step {start_step} (full train state)"
+                 if resume_opt_leaves is not None else " (params only)"))
 
     tx = make_optimizer(args)
     opt_state = tx.init(params)
+    if resume_opt_leaves is not None:
+        from deeplabv3plus_augmented_superresolution_tpu.utils import (
+            restore_opt_state)
+        try:
+            opt_state = restore_opt_state(opt_state, resume_opt_leaves)
+            print("[train] restored optimizer state (moments + schedule "
+                  "position)")
+        except ValueError as e:
+            print(f"[train] WARNING: checkpoint optimizer state does not fit "
+                  f"the requested optimizer ({e}); starting the optimizer "
+                  f"fresh")
 
     mesh = None
     if args.multihost:
@@ -252,22 +279,32 @@ def main():
                                       shift_max=shift_max)
         return np.asarray(imj), np.asarray(lbj)
 
-    def maybe_checkpoint(params, done):
+    def maybe_checkpoint(params, opt_state, done):
         if args.ckpt_dir and done % args.ckpt_every == 0:
+            from deeplabv3plus_augmented_superresolution_tpu.utils import (
+                save_train_state)
             os.makedirs(args.ckpt_dir, exist_ok=True)
             path = os.path.join(args.ckpt_dir, f"step_{done}.npz")
-            save_params_npz(jax.device_get(params), path)
+            # Full train state (params + optimizer moments + schedule step)
+            # so --resume continues the interrupted run exactly; the file
+            # stays --weights_path-compatible (extra keys are __-prefixed).
+            save_train_state(path, jax.device_get(params),
+                             jax.device_get(opt_state), done)
             print(f"[train] checkpoint -> {path}")
+
+    total_steps = start_step + args.steps
 
     if args.data == "synthetic":
         from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
             synthetic_batch)
         imgs, labs = synthetic_batch(rng, args.train_set,
                                      size=(args.size, args.size),
-                                     class_ids=tuple(args.class_ids))
+                                     class_ids=tuple(args.class_ids),
+                                     hard=args.hard)
         eval_imgs, eval_labs = synthetic_batch(rng, args.eval_images,
                                                size=(args.size, args.size),
-                                               class_ids=tuple(args.class_ids))
+                                               class_ids=tuple(args.class_ids),
+                                               hard=args.hard)
         evaluate = synthetic_eval_fn(args, cfg, eval_imgs, eval_labs)
 
         if mesh is None:
@@ -299,33 +336,33 @@ def main():
 
             train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
             key = jax.random.key(args.seed)
-            done = 0
-            while done < args.steps:
-                n = min(args.log_every, args.steps - done)
+            done = start_step
+            while done < total_steps:
+                n = min(args.log_every, total_steps - done)
                 keys = jax.random.split(jax.random.fold_in(key, done), n)
                 params, opt_state, ls = train_chunk(params, opt_state,
                                                     ds_img, ds_lab, keys)
                 losses.extend(np.asarray(ls, np.float32).tolist())
                 done += n
-                print(f"[train] step {done}/{args.steps} "
+                print(f"[train] step {done}/{total_steps} "
                       f"loss {losses[-1]:.4f}", flush=True)
-                maybe_checkpoint(params, done)
+                maybe_checkpoint(params, opt_state, done)
                 if args.eval_every and done % args.eval_every == 0:
                     evals[done] = evaluate(params)
                     print(f"[train] step {done} held-out mIoU "
                           f"{evals[done]:.4f}")
         else:
-            for done in range(1, args.steps + 1):
+            for done in range(start_step + 1, total_steps + 1):
                 idx = rng.integers(0, imgs.shape[0], args.batch)
                 im, lb = host_warp_augment(imgs[idx].astype(np.float32),
                                            labs[idx], args.seed + done)
                 im, lb = shard_train_batch(mesh, im, lb.astype(np.int32))
                 params, opt_state, loss = step(params, opt_state, im, lb)
-                if done % args.log_every == 0 or done == args.steps:
+                if done % args.log_every == 0 or done == total_steps:
                     losses.append(float(loss))
-                    print(f"[train] step {done}/{args.steps} "
+                    print(f"[train] step {done}/{total_steps} "
                           f"loss {losses[-1]:.4f}", flush=True)
-                maybe_checkpoint(params, done)
+                maybe_checkpoint(params, opt_state, done)
                 if args.eval_every and done % args.eval_every == 0:
                     evals[done] = evaluate(params)
                     print(f"[train] step {done} held-out mIoU "
@@ -338,8 +375,8 @@ def main():
             PascalVOC2012Dataset)
         ds = PascalVOC2012Dataset(args.pascal_root,
                                   image_size=(args.size, args.size))
-        done = 0
-        while done < args.steps:
+        done = start_step
+        while done < total_steps:
             for im, mk in ds.batches(args.split, args.batch, shuffle=True,
                                      seed=args.seed + done,
                                      augment=args.augment):
@@ -352,10 +389,10 @@ def main():
                 done += 1
                 if done % args.log_every == 0:
                     losses.append(float(loss))
-                    print(f"[train] step {done}/{args.steps} "
+                    print(f"[train] step {done}/{total_steps} "
                           f"loss {losses[-1]:.4f}", flush=True)
-                maybe_checkpoint(params, done)
-                if done >= args.steps:
+                maybe_checkpoint(params, opt_state, done)
+                if done >= total_steps:
                     break
         final_miou = None  # VOC eval: use cli/validate_parity.py on the ckpt
 
@@ -368,12 +405,14 @@ def main():
 
     summary = {
         "backbone": args.backbone, "size": args.size, "steps": args.steps,
+        "start_step": start_step, "total_steps": total_steps,
         "global_batch": args.batch,
         "devices": (mesh.size if mesh is not None else 1),
         "optimizer": args.optimizer, "lr_schedule": args.lr_schedule,
         "remat": args.remat, "compute_dtype": args.compute_dtype,
         "loss_first": losses[0] if losses else None,
         "loss_final": losses[-1] if losses else None,
+        "losses": losses,
         "train_s": round(train_s, 1),
         "steps_per_s": round(args.steps / train_s, 3),
         "held_out_miou": final_miou, "evals": evals,

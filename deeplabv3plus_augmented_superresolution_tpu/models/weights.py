@@ -118,6 +118,8 @@ def load_params_npz(path: str) -> Params:
     flat = np.load(path)
     params: Params = {}
     for key in flat.files:
+        if key.startswith("__"):
+            continue  # train-state extras (utils/checkpoint.py) — not params
         layer, weight = key.rsplit(".", 1)
         params.setdefault(layer, {})[weight] = jnp.asarray(flat[key])
     return params

@@ -1,5 +1,7 @@
 from .profiling import StageTimer, trace_to, device_summary
-from .checkpoint import save_checkpoint, restore_checkpoint
+from .checkpoint import (save_checkpoint, restore_checkpoint,
+                         save_train_state, load_train_state,
+                         restore_opt_state)
 from .retry import device_healthy, device_resilient, wait_for_device
 from .viz import plot_prediction, plot_images, plot_image, plot_histogram, print_labels
 
@@ -9,6 +11,9 @@ __all__ = [
     "device_summary",
     "save_checkpoint",
     "restore_checkpoint",
+    "save_train_state",
+    "load_train_state",
+    "restore_opt_state",
     "plot_prediction",
     "plot_images",
     "plot_image",
