@@ -8,6 +8,7 @@ viewable in TensorBoard/Perfetto.
 """
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict
@@ -30,23 +31,45 @@ class StageTimer:
     """Accumulates wall time per named stage.
 
     with timer.stage("forward", out=logits): ...
+
+    sync=True (default) brackets each stage with real device round-trips —
+    honest per-stage device time, but serializing; use for sequential
+    profiling. sync=False records pure wall time with a thread lock on the
+    accumulators — safe inside overlapped producer/writer pipelines
+    (cli/run_asr) where forcing syncs would destroy the very overlap being
+    measured.
     """
 
-    def __init__(self):
+    def __init__(self, sync: bool = True):
+        self.sync = sync
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_value=None):
-        _sync()
+        if self.sync:
+            _sync()
         start = time.perf_counter()
         result = {}
         try:
             yield result
         finally:
-            _sync(result.get("out", sync_value))
-            self.totals[name] += time.perf_counter() - start
-            self.counts[name] += 1
+            if self.sync:
+                _sync(result.get("out", sync_value))
+            elapsed = time.perf_counter() - start
+            with self._lock:
+                self.totals[name] += elapsed
+                self.counts[name] += 1
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        with self._lock:
+            return {name: {"total_s": round(self.totals[name], 4),
+                           "calls": self.counts[name],
+                           "ms_per_call": round(
+                               self.totals[name]
+                               / max(self.counts[name], 1) * 1000, 2)}
+                    for name in self.totals}
 
     def summary(self) -> str:
         lines = []
