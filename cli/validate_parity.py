@@ -150,13 +150,18 @@ class Harness:
         a = self.args
         angles, shifts = sample_augmentations(
             jax.random.key(seed), a.num_aug, a.angle_max_gen, a.shift_max_gen)
-        sr_cfg = make_sr_config(
-            None, num_aug=a.num_aug,
+        # overrides (e.g. the sweep row's num_iter/lambdas) take precedence
+        # over the CLI-level defaults — merged BEFORE the call so duplicated
+        # keys like num_iter don't collide (caught by the full-dress
+        # rehearsal, tests/test_cli_integration.py).
+        sr_kwargs = dict(
+            num_aug=a.num_aug,
             feature_size=tuple(d // (8 if self.model_cfg.backbone == "mobilenet"
                                      else 4) for d in self.img_size),
             output_size=self.img_size, num_iter=a.num_iter,
-            angle_max=max(a.angle_max_gen + 0.05, 1e-3),
-            **(sr_overrides or {}))
+            angle_max=max(a.angle_max_gen + 0.05, 1e-3))
+        sr_kwargs.update(sr_overrides or {})
+        sr_cfg = make_sr_config(None, **sr_kwargs)
         out = asr_step(self.params, jnp.asarray(image), angles, shifts,
                        self.model_cfg, sr_cfg, class_id=class_id, mode=mode,
                        th_factor=th_factor, return_targets=return_targets)

@@ -227,6 +227,102 @@ def test_run_asr_multiclass(fake_voc):
     assert "avg IoU[standard/c12]" in out
 
 
+@pytest.mark.slow
+def test_validate_parity_nonsmoke_full_dress(fake_voc):
+    """Full-dress rehearsal of the weights-day path (VERDICT r3 weak #5):
+    the REAL (non-smoke) validation/threshold/sweep/robustness branches run
+    end to end against a scratch-trained checkpoint, a miniature VOC tree,
+    and a baselines JSON the test fabricates — real VOC tree walk
+    (filter_images_by_class over GT PNGs), 17-point threshold grid, the
+    sweep row's exact-config rerun, the coarse robustness grid, and the
+    PASS/FAIL diffing. Phase 2 derives baselines from phase 1's own CSV and
+    reruns validation: identical seeds must reproduce identical aggregates,
+    so the tight-tolerance diff PASSes — the determinism the one-command
+    parity claim rests on."""
+    import csv
+    import json
+
+    # -- a scratch "checkpoint": train 2 steps at 48 px (params are
+    # resolution-free; the harness runs them at 512). Enough to exercise the
+    # real .npz -> build_deeplab load; quality is irrelevant here.
+    import jax
+    import optax
+
+    from deeplabv3plus_augmented_superresolution_tpu.data.synthetic import (
+        synthetic_batch)
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        DeepLabConfig, init_params, make_train_step, save_params_npz)
+
+    cfg = DeepLabConfig(input_shape=(48, 48, 3), classes=21,
+                        backbone="mobilenet", alpha=0.35, weights=None,
+                        final_upsample=True, compute_dtype="float32")
+    params = init_params(cfg, seed=0)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx)
+    rng = np.random.default_rng(3)
+    imgs, labs = synthetic_batch(rng, 2, size=(48, 48), class_ids=(8,))
+    for _ in range(2):
+        params, opt, _ = step(params, opt, imgs, labs)
+    ckpt = str(fake_voc / "tiny_ckpt.npz")
+    save_params_npz(jax.device_get(params), ckpt)
+
+    # -- miniature VOC validation list (the fixture ships trainaug.txt)
+    lists = fake_voc / "data" / "augmented_file_lists"
+    (lists / "valaug.txt").write_text((lists / "trainaug.txt").read_text())
+
+    # -- fabricated baselines: committed schema, tolerances opened wide, the
+    # sweep row's config shrunk so its exact-config rerun stays CI-sized.
+    with open(os.path.join(REPO, "configs", "reference_baselines.json")) as f:
+        base = json.load(f)
+    base["tolerances"] = {k: 10.0 for k in base["tolerances"]}
+    base["sweep"]["argmax_class8"]["config"]["num_samples"] = 2
+    base["sweep"]["argmax_class8"]["config"]["num_iter"] = 5
+    baselines1 = fake_voc / "baselines_phase1.json"
+    baselines1.write_text(json.dumps(base))
+
+    knobs = ["--backbone", "mobilenet", "--weights_path", ckpt,
+             "--num_aug", "6", "--num_iter", "5",
+             "--classes", "8", "--num_samples_per_class", "2",
+             "--threshold_samples", "2", "--robustness_samples", "2",
+             "--robustness_grid", "coarse"]
+    out = _run(fake_voc, "validate_parity.py", *knobs,
+               "--workloads", "validation,threshold,sweep,robustness",
+               "--baselines", str(baselines1),
+               "--output_dir", str(fake_voc / "parity_full"))
+    assert "OVERALL: PASS" in out
+    assert "smoke" not in out  # really the non-smoke branch
+    produced = sorted(os.listdir(fake_voc / "parity_full"))
+    assert "argmax_validation_final.csv" in produced
+    assert "th_argmax_2.csv" in produced
+    assert "sweep_best_argmax.csv" in produced
+    assert "robustness_2_class_all.csv" in produced
+    # the 17-point threshold grid really ran (non-smoke branch)
+    with open(fake_voc / "parity_full" / "th_argmax_2.csv") as f:
+        assert len(list(csv.reader(f))) == 18  # header + 17 thresholds
+    # the coarse 5x3x3 grid really ran
+    with open(fake_voc / "parity_full" / "robustness_2_class_all.csv") as f:
+        assert len(list(csv.reader(f))) == 46  # header + 45 combos
+
+    # -- phase 2: baselines derived from phase 1's own measured CSV; the
+    # rerun (same seeds) must match them within a tight tolerance.
+    with open(fake_voc / "parity_full" / "argmax_validation_final.csv") as f:
+        rows = list(csv.DictReader(f))
+    cols = ["aug_iou_single", "standard_iou_single", "aug_iou_multiple",
+            "standard_iou_multiple", "max_iou", "mean_iou"]
+    measured = {c: float(np.nanmean([float(r[c]) for r in rows]))
+                for c in cols}
+    base["validation"]["argmax"]["aggregate_mean"] = measured
+    base["tolerances"]["validation_aggregate_iou"] = 1e-4
+    baselines2 = fake_voc / "baselines_phase2.json"
+    baselines2.write_text(json.dumps(base))
+    out2 = _run(fake_voc, "validate_parity.py", *knobs,
+                "--workloads", "validation",
+                "--baselines", str(baselines2),
+                "--output_dir", str(fake_voc / "parity_full2"))
+    assert "OVERALL: PASS" in out2
+
+
 def test_validate_parity_smoke(fake_voc):
     """The quality-parity harness runs end-to-end in --smoke mode: every
     workload executes on the bundled fixture with random weights, the CSVs
