@@ -37,6 +37,62 @@ os.environ.setdefault("TPU_WORKER_ID", "0")
 
 REFERENCE_IMAGES_PER_SEC = 500.0 / 1275.0  # BASELINE.md sweep-runtime rows
 
+# Hardware peaks for the utilization accounting (NOTES.md "Measured kernel
+# facts"): 138 TFLOP/s is the MEASURED bf16 matmul peak on this chip through
+# the axon tunnel (4096^3 in 0.99 ms); 197 TFLOP/s and 819 GB/s are the
+# v5e spec sheet (bf16 MXU, HBM bandwidth).
+MEASURED_BF16_PEAK = 138e12
+SPEC_BF16_PEAK = 197e12
+SPEC_HBM_BYTES_PER_S = 819e9
+
+
+def _aot(jitfn, *args):
+    """AOT-compile a jitted fn: returns (callable, cost_dict_or_None).
+
+    The compiled executable is used for the timed calls (no double compile)
+    and its XLA cost analysis — model FLOPs and bytes accessed — feeds the
+    hw_utilization line, so the MFU number is the compiler's own accounting
+    of the exact program being timed, not hand-derived arithmetic.
+    """
+    compiled = jitfn.lower(*args).compile()
+    cost = None
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        flops = float(c.get("flops", 0.0) or 0.0)
+        bytes_ = float(c.get("bytes accessed", 0.0) or 0.0)
+        if flops > 0:
+            cost = {"flops": flops, "bytes": bytes_}
+    except Exception:
+        pass
+    return compiled, cost
+
+
+def _hw_utilization(cost, program_seconds):
+    """Compose the roofline fractions for one timed program execution."""
+    if not cost or not program_seconds:
+        return None
+    tf_s = cost["flops"] / program_seconds / 1e12
+    out = {
+        "model_tflops_per_s": round(tf_s, 2),
+        "mfu_vs_measured_138tf_peak": round(
+            cost["flops"] / program_seconds / MEASURED_BF16_PEAK, 4),
+        "mfu_vs_spec_197tf_peak": round(
+            cost["flops"] / program_seconds / SPEC_BF16_PEAK, 4),
+        "accounting": ("XLA cost_analysis flops/bytes of the timed "
+                       "executable over min wall time; peaks: NOTES.md "
+                       "'Measured kernel facts' + v5e spec. The workload is "
+                       "depthwise/VPU-heavy (NOTES 'VPU roofline'), so MXU "
+                       "MFU is structurally bounded well below 1.0"),
+    }
+    if cost.get("bytes"):
+        out["hbm_gbytes_per_s"] = round(
+            cost["bytes"] / program_seconds / 1e9, 1)
+        out["hbm_util_vs_spec_819gbps"] = round(
+            cost["bytes"] / program_seconds / SPEC_HBM_BYTES_PER_S, 4)
+    return out
+
 
 def main():
     import numpy as np
@@ -64,6 +120,15 @@ def main():
     # BENCH_BATCH (8), BENCH_REMAT=1.
     if os.environ.get("BENCH_TRAIN") == "1":
         return bench_train()
+    # BENCH_SUSTAINED=1: the PRODUCTION loop — cli/run_asr.py as a subprocess
+    # over real image files, including host jpeg decode, host->device uploads,
+    # device->host mask fetches, PNG encoding and writes (the writer pool),
+    # reported as min/median over >=5 steady-state windows plus a per-stage
+    # wall-time attribution. This is the reproducible replacement for the
+    # round-3 prose "3.8-4.0 img/s (~±30%)" (VERDICT r3 weak #2). Knobs:
+    # BENCH_IMAGES (64), BENCH_BATCH (4), BENCH_WINDOWS (5).
+    if os.environ.get("BENCH_SUSTAINED") == "1":
+        return bench_sustained()
     num_aug = int(os.environ.get("BENCH_NUM_AUG", 100))
     num_iter = int(os.environ.get("BENCH_NUM_ITER", 300))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
@@ -172,11 +237,8 @@ def main():
                         class_id=8, mode="argmax", th_factor=0.2,
                         chunk_size=chunk, gram_coeffs=gram_coeffs)
 
-    def run(a, s):
-        out = step_one(image, a, s)
-        # One combined device->host sync (block_until_ready can be a no-op
-        # through the axon tunnel; each separate fetch costs ~30ms).
-        return float(sum(jnp.sum(v) for v in out.values()))
+    # (All timed paths fetch ONE combined scalar per run — block_until_ready
+    # can be a no-op through the axon tunnel; each separate fetch costs ~30ms.)
 
     if solve_only:
         # Staged-equivalent accounting: the timed program is ONLY what the
@@ -217,19 +279,22 @@ def main():
                     threshold_image(mx, 8, th_factor=0.2),
                     threshold_image(mean, 8, th_factor=0.2))
 
-        def run_solve(masks, a, s):
-            return float(sum(jnp.sum(v) for v in solve(masks, a, s)))
-
         draws = [sample_augmentations(jax.random.key(1000 * i), num_aug,
                                       0.15, 80) for i in range(repeats + 1)]
         staged = [(stage_masks(a, s), a, s) for a, s in draws]
-        run_solve(*staged[0])  # compile
+        solve_exe, cost = _aot(solve, *staged[0])
+
+        def run_solve(masks, a, s):
+            return float(sum(jnp.sum(v) for v in solve_exe(masks, a, s)))
+
+        run_solve(*staged[0])  # warm
         times = []
         for masks, a, s in staged[1:]:
             t0 = time.time()
             run_solve(masks, a, s)
             times.append(time.time() - t0)
         dt = min(times)
+        hw = _hw_utilization(cost, min(times))
     elif strict:
         # Per-image augmentation sets: different values, same shapes (one
         # compile); each timed run pays the probe extraction like the
@@ -248,44 +313,57 @@ def main():
                                       class_id=8, mode="argmax",
                                       th_factor=0.2, chunk_size=chunk)))
 
+        draws = [draw_batch(1000 * i) for i in range(repeats + 1)]
+        strict_exe, cost = _aot(strict_fn, images, *draws[0])
+
         def run_strict(a, s):
-            out = strict_fn(images, a, s)
+            out = strict_exe(images, a, s)
             return float(sum(jnp.sum(v) for v in out.values()))
 
-        draws = [draw_batch(1000 * i) for i in range(repeats + 1)]
-        run_strict(*draws[0])  # compile
+        run_strict(*draws[0])  # warm
         times = []
         for a, s in draws[1:]:
             t0 = time.time()
             run_strict(a, s)
             times.append(time.time() - t0)
         dt = min(times) / batch
+        hw = _hw_utilization(cost, min(times))
     elif batch > 1:
         # Serving throughput: BENCH_BATCH images per program (vmap), the
         # cli/run_asr --batch path on one chip.
         images = jnp.stack([image] * batch)
         batch_fn = jax.jit(jax.vmap(
             lambda im: step_one(im, angles, shifts)))
+        batch_exe, cost = _aot(batch_fn, images)
 
         def run_batch():
-            out = batch_fn(images)
+            out = batch_exe(images)
             return float(sum(jnp.sum(v) for v in out.values()))
 
-        run_batch()  # compile
+        run_batch()  # warm
         times = []
         for _ in range(repeats):
             t0 = time.time()
             run_batch()
             times.append(time.time() - t0)
         dt = min(times) / batch
+        hw = _hw_utilization(cost, min(times))
     else:
-        run(angles, shifts)  # compile
+        single_jit = jax.jit(lambda im, a, s: step_one(im, a, s))
+        single_exe, cost = _aot(single_jit, image, angles, shifts)
+
+        def run_single(a, s):
+            out = single_exe(image, a, s)
+            return float(sum(jnp.sum(v) for v in out.values()))
+
+        run_single(angles, shifts)  # warm
         times = []
         for _ in range(repeats):
             t0 = time.time()
-            run(angles, shifts)
+            run_single(angles, shifts)
             times.append(time.time() - t0)
         dt = min(times)
+        hw = _hw_utilization(cost, min(times))
     images_per_sec = 1.0 / dt
 
     if solve_only:
@@ -307,6 +385,77 @@ def main():
                  "solve stage only — BENCH_SOLVE_ONLY=1 for the "
                  "like-for-like row)"),
         "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
+        "hw_utilization": hw,
+    }))
+
+
+def bench_sustained():
+    """Sustained serving throughput: drive cli/run_asr.py over real files.
+
+    The subprocess pays everything production pays (process start, model
+    build, gram-stencil warm cache, host decode, uploads, fetches, PNG
+    writes). Window rates come from the per-batch completion timestamps in
+    run_asr's --summary_json; the first batch (compile) is excluded, the
+    writer drain is included in the overall steady number.
+    """
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n_images = int(os.environ.get("BENCH_IMAGES", 160))
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 2)
+    src = os.path.join(here, "test_images", "smoke_input.jpg")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        img_dir = os.path.join(tmp, "imgs")
+        out_dir = os.path.join(tmp, "out")
+        os.makedirs(img_dir)
+        for i in range(n_images):
+            shutil.copy(src, os.path.join(img_dir, f"img_{i:04d}.jpg"))
+        summary_path = os.path.join(tmp, "summary.json")
+        cmd = [sys.executable, os.path.join(here, "cli", "run_asr.py"),
+               "--images", img_dir, "--output_dir", out_dir,
+               "--batch", str(batch), "--summary_json", summary_path]
+        subprocess.run(cmd, check=True, cwd=here,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(summary_path) as f:
+            s = json.load(f)
+
+    ts = s["batch_done_ts"][1:]  # drop the compile batch
+    rates = []
+    if len(ts) >= windows + 1:
+        # windows of consecutive batch completions: rate over each span
+        per_w = len(ts) // windows
+        for wi in range(windows):
+            seg = ts[wi * per_w:(wi + 1) * per_w + 1]
+            if len(seg) >= 2 and seg[-1] > seg[0]:
+                rates.append((len(seg) - 1) * batch / (seg[-1] - seg[0]))
+    steady = s["steady_images_per_s_incl_writes"]
+    print(json.dumps({
+        "metric": "asr_sustained_images_per_sec",
+        "value": steady,
+        "unit": (f"images/s sustained (cli/run_asr.py subprocess, "
+                 f"{n_images} jpg files, batch={batch}, serving defaults, "
+                 "incl. host decode + uploads + fetches + PNG writes + "
+                 "writer drain; first/compile batch excluded)"),
+        "vs_baseline": round(steady / REFERENCE_IMAGES_PER_SEC, 3),
+        "windows_images_per_sec": [round(r, 3) for r in rates],
+        "windows_min": round(min(rates), 3) if rates else None,
+        "windows_median": (round(statistics.median(rates), 3)
+                           if rates else None),
+        "stage_seconds": s["stages"],
+        "stage_note": ("windows_* are steady-state completion rates "
+                       "(batch-done timestamp spans); `value` additionally "
+                       "amortizes the post-compile ramp + writer drain and "
+                       "converges up to the window rate as BENCH_IMAGES "
+                       "grows. device_fetch stage time is summed across "
+                       "concurrent writer threads and absorbs the wait for "
+                       "async device compute — it is NOT per-batch transfer "
+                       "cost (host stages: host_to_device + "
+                       "encode_write_score)"),
     }))
 
 
@@ -363,13 +512,14 @@ def bench_train():
     chunk = jax.jit(chunk, donate_argnums=(0, 1))
     key = jax.random.key(0)
     keys = jax.random.split(key, steps_per_chunk)
-    params, opt_state, ls = chunk(params, opt_state, keys)
-    float(jnp.sum(ls))  # compile + warm
+    chunk_exe, cost = _aot(chunk, params, opt_state, keys)
+    params, opt_state, ls = chunk_exe(params, opt_state, keys)
+    float(jnp.sum(ls))  # warm
     times = []
     for i in range(int(os.environ.get("BENCH_REPEATS", 3))):
         keys = jax.random.split(jax.random.fold_in(key, i), steps_per_chunk)
         t0 = time.time()
-        params, opt_state, ls = chunk(params, opt_state, keys)
+        params, opt_state, ls = chunk_exe(params, opt_state, keys)
         float(jnp.sum(ls))
         times.append(time.time() - t0)
     dt = min(times) / steps_per_chunk
@@ -380,6 +530,7 @@ def bench_train():
                  f"bf16{', remat' if remat else ''}, 1 chip; the reference "
                  "has NO training path — no baseline exists)"),
         "vs_baseline": 0.0,
+        "hw_utilization": _hw_utilization(cost, min(times)),
     }))
 
 

@@ -600,6 +600,10 @@ def main():
                     emit(name,
                          {k: arr[j][i] for j, k in enumerate(out_keys)},
                          lm_masks=(lm[:, i] if lm is not None else None))
+        # COMPLETION timestamp (fetch + writes done) — the dispatch loop's
+        # own clock would record async enqueue times, not work done. Writer
+        # threads may finish out of order; consumers sort.
+        batch_done_ts.append(time.time())
 
     def dispatch_emit(names, packed):
         if writer:
@@ -618,7 +622,8 @@ def main():
             "steady_images": steady_images,
             "steady_start_s": (round(steady_start - start, 3)
                                if steady_start else None),
-            "batch_done_ts": [round(t - start, 4) for t in batch_done_ts],
+            "batch_done_ts": sorted(round(t - start, 4)
+                                    for t in batch_done_ts),
             "stages": stage_timer.as_dict(),
             "ious": {k: round(float(np.mean(v)), 4)
                      for k, v in ious.items() if v},
@@ -641,7 +646,6 @@ def main():
                 out = (out[0][:, :len(names)],
                        out[1][:, :len(names)] if out[1] is not None else None)
             dispatch_emit(names, out)
-            batch_done_ts.append(time.time())
         if writer:
             writer.close()  # drain: steady-state includes artifact writes
         profile_steady(False)
@@ -668,7 +672,6 @@ def main():
             steady_start = time.time()  # first image paid the compile
             profile_steady(True)
         dispatch_emit(name, out)
-        batch_done_ts.append(time.time())
 
     if writer:
         writer.close()

@@ -44,6 +44,7 @@ class StageTimer:
         self.sync = sync
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.maxes: Dict[str, float] = defaultdict(float)
         self._lock = threading.Lock()
 
     @contextlib.contextmanager
@@ -61,15 +62,24 @@ class StageTimer:
             with self._lock:
                 self.totals[name] += elapsed
                 self.counts[name] += 1
+                self.maxes[name] = max(self.maxes[name], elapsed)
 
     def as_dict(self) -> Dict[str, Dict[str, float]]:
+        """max_s separates the compile-dominated first call: steady-state
+        ms/call = (total_s - max_s) / (calls - 1) when calls > 1."""
         with self._lock:
-            return {name: {"total_s": round(self.totals[name], 4),
-                           "calls": self.counts[name],
-                           "ms_per_call": round(
-                               self.totals[name]
-                               / max(self.counts[name], 1) * 1000, 2)}
-                    for name in self.totals}
+            out = {}
+            for name in self.totals:
+                total, count = self.totals[name], self.counts[name]
+                mx = self.maxes[name]
+                d = {"total_s": round(total, 4), "calls": count,
+                     "ms_per_call": round(total / max(count, 1) * 1000, 2),
+                     "max_s": round(mx, 4)}
+                if count > 1:
+                    d["steady_ms_per_call"] = round(
+                        (total - mx) / (count - 1) * 1000, 2)
+                out[name] = d
+            return out
 
     def summary(self) -> str:
         lines = []
