@@ -29,6 +29,27 @@ def test_stage_timer():
     assert "a" in timer.summary() and "ms/call" in timer.summary()
 
 
+def test_stage_timer_steady_rate_separates_compile_call():
+    import time
+
+    timer = StageTimer()
+    with timer.stage("fetch"):
+        time.sleep(0.05)  # the compile-dominated first call
+    for _ in range(4):
+        with timer.stage("fetch"):
+            time.sleep(0.005)
+    d = timer.as_dict()["fetch"]
+    assert d["calls"] == 5
+    # max_s captures the slow first call; steady excludes exactly it
+    assert d["max_s"] >= 0.045
+    assert d["steady_ms_per_call"] < d["ms_per_call"]
+    assert 3.0 <= d["steady_ms_per_call"] <= 30.0
+    # single-call stages report no steady rate (nothing to separate)
+    with timer.stage("once"):
+        pass
+    assert "steady_ms_per_call" not in timer.as_dict()["once"]
+
+
 def test_device_summary_runs():
     assert "device" in device_summary()
 
