@@ -10,14 +10,24 @@ import numpy as np
 from .io import load_image
 
 
+def _basename_sort_key(path: str):
+    """Numeric sort for VOC ids like 2007_000032 (which parse as ints —
+    underscores are digit separators, reference superres_utils.py:26-27),
+    lexicographic fallback for anything else (e.g. synthetic scene names)."""
+    stem = os.path.basename(path).split(".")[0]
+    try:
+        return (0, int(stem), "")
+    except ValueError:
+        return (1, 0, stem)
+
+
 def get_img_paths(image_list_path: str, image_folder: str, is_png: bool = False,
                   sort: bool = True) -> List[str]:
     ext = ".png" if is_png else ".jpg"
     with open(image_list_path) as f:
         paths = [os.path.join(image_folder, line.rstrip() + ext) for line in f]
     if sort:
-        # VOC ids like 2007_000032 parse as ints (underscore digit separators).
-        paths = sorted(paths, key=lambda p: int(os.path.basename(p).split(".")[0]))
+        paths = sorted(paths, key=_basename_sort_key)
     return paths
 
 
@@ -63,7 +73,7 @@ def list_precomputed_data_paths(root_dir: str, sort: bool = False) -> List[str]:
             if filename.endswith(".hdf5"):
                 paths.append(os.path.join(path, filename))
     if sort:
-        paths = sorted(paths, key=lambda p: int(os.path.basename(p).split(".")[0]))
+        paths = sorted(paths, key=_basename_sort_key)
     return paths
 
 

@@ -182,3 +182,21 @@ def test_dataset_class_batches(tmp_path):
     data = np.load(out)
     assert data["images"].shape == (4, 64, 64, 3)
     assert list(data["basenames"]) == names
+
+
+def test_get_img_paths_sort_handles_non_numeric_names(tmp_path):
+    # VOC ids sort numerically (int('2007_000032') parses — underscore digit
+    # separators, reference superres_utils.py:26-27); non-VOC names (e.g.
+    # synthetic scenes) must not crash and fall back to lexicographic order.
+    from deeplabv3plus_augmented_superresolution_tpu.data.paths import get_img_paths
+
+    lst = tmp_path / "list.txt"
+    lst.write_text("2010_000002\n2007_000032\n")
+    paths = get_img_paths(str(lst), "/imgs", sort=True)
+    assert [os.path.basename(p) for p in paths] == [
+        "2007_000032.jpg", "2010_000002.jpg"]
+
+    lst.write_text("synth_4321_0010\nsynth_4321_0002\n2007_000032\n")
+    paths = get_img_paths(str(lst), "/imgs", sort=True)
+    assert [os.path.basename(p) for p in paths] == [
+        "2007_000032.jpg", "synth_4321_0002.jpg", "synth_4321_0010.jpg"]
