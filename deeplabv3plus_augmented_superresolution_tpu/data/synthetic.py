@@ -24,7 +24,12 @@ from typing import Sequence, Tuple
 import numpy as np
 
 # Hue bands (RGB base colors) assigned to class ids in order. Backgrounds
-# draw from muted grey-greens far from all bands.
+# draw from muted grey-greens far from all bands. The first six are the
+# round-3 palette (kept byte-identical so committed artifacts reproduce);
+# the rest extend it to 20 distinct colors so a full 20-class validation —
+# the reference's final_validations protocol (one row per VOC foreground
+# class, argmax_validation_final.csv) — is generable. Pairwise RGB distance
+# is kept above the per-channel jitter so color remains a learnable cue.
 _CLASS_COLORS = [
     (0.85, 0.25, 0.20),   # red-ish
     (0.20, 0.35, 0.85),   # blue-ish
@@ -32,6 +37,20 @@ _CLASS_COLORS = [
     (0.60, 0.20, 0.75),   # purple-ish
     (0.95, 0.55, 0.15),   # orange-ish
     (0.15, 0.75, 0.70),   # teal-ish
+    (0.20, 0.70, 0.25),   # green
+    (0.95, 0.45, 0.70),   # pink
+    (0.55, 0.90, 0.25),   # lime
+    (0.25, 0.90, 0.95),   # cyan
+    (0.50, 0.15, 0.20),   # maroon
+    (0.10, 0.15, 0.45),   # navy
+    (0.95, 0.75, 0.60),   # peach
+    (0.70, 0.65, 0.95),   # lavender
+    (0.15, 0.45, 0.30),   # forest
+    (0.75, 0.95, 0.80),   # mint
+    (0.55, 0.35, 0.10),   # ochre
+    (0.75, 0.10, 0.50),   # magenta
+    (0.40, 0.60, 0.85),   # steel blue
+    (0.85, 0.85, 0.90),   # near-white
 ]
 
 
