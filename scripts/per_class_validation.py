@@ -268,6 +268,23 @@ def main():
         "modes": {},
     }
 
+    def sanitize(x):
+        if isinstance(x, float) and not (x == x and abs(x) != float("inf")):
+            return None
+        if isinstance(x, dict):
+            return {k: sanitize(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [sanitize(v) for v in x]
+        return x
+
+    json_path = f"{args.out_prefix}_validation.json"
+
+    def write_summary():
+        # Incremental: one finished mode is durable even if a later mode's
+        # run dies (TPU worker faults are a fact of life on the tunnel).
+        with open(json_path, "w") as f:
+            json.dump(sanitize(summary), f, indent=2, allow_nan=False)
+
     for mode in args.modes:
         # Per class c: lists of the reference's 6 IoU variants over the
         # scenes containing c (reference SR_single_class.py:109-141).
@@ -283,10 +300,14 @@ def main():
                 params, jnp.asarray(img), angles, shifts, model_cfg, sr_cfg,
                 class_ids=class_ids, mode=mode, th_factor=args.th_factor,
                 class_chunk=args.class_chunk)
-            out = {a: np.asarray(out[a]) for a in arms}
             present = [int(c) for c in np.unique(lab) if c in per_class]
-            for c in present:
-                k = c - 1  # slice k of the class axis is class_ids[k]
+            # Fetch only the present classes' slices: pulling all K arms
+            # through the tunnel costs ~4*K MB/scene (measured ~7 s/scene at
+            # K=20/512 px); device-side indexing cuts it ~K/len(present)x.
+            idx = jnp.asarray([c - 1 for c in present], jnp.int32)
+            out = {a: np.asarray(out[a][idx]) for a in arms}
+            for j, c in enumerate(present):
+                k = j  # row j of the fetched subset is class `present[j]`
                 d = per_class[c]
                 d["aug_iou_single"].append(
                     float(single_class_iou(lab, out["aug"][k], c)))
@@ -339,19 +360,8 @@ def main():
               f"({avg['aug_iou_single'] - avg['standard_iou_single']:+.4f}); "
               f"max {avg['max_iou']:.4f} mean {avg['mean_iou']:.4f} "
               f"-> {csv_path}", flush=True)
+        write_summary()
 
-    def sanitize(x):
-        if isinstance(x, float) and not (x == x and abs(x) != float("inf")):
-            return None
-        if isinstance(x, dict):
-            return {k: sanitize(v) for k, v in x.items()}
-        if isinstance(x, list):
-            return [sanitize(v) for v in x]
-        return x
-
-    json_path = f"{args.out_prefix}_validation.json"
-    with open(json_path, "w") as f:
-        json.dump(sanitize(summary), f, indent=2, allow_nan=False)
     print(f"[per_class] summary -> {json_path}")
 
 
