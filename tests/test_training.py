@@ -645,3 +645,51 @@ def test_per_class_validation_end_to_end_small(tmp_path, monkeypatch):
         assert v is None or np.isfinite(v), summary
     # every class row aggregated at least min_class_n scenes
     assert all(n >= 1 for n in m["per_class_n"].values()), summary
+
+
+def test_label_map_eval_end_to_end_small(tmp_path, monkeypatch):
+    """scripts/label_map_eval.py end to end, CPU-sized: the scoring harness
+    behind the committed label_map quality numbers (NOTES "label_map product
+    scored"). Random-init checkpoint — this pins the mechanics (scene
+    selection requires >=2 classes present, strict-JSON artifact schema,
+    per-class aggregation), not quality; the production runs are the
+    512-px TPU invocations in experiments/label_map_eval_*.json."""
+    import runpy
+    import sys
+
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        build_model,
+        save_params_npz,
+    )
+
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), classes=21,
+                        backbone="mobilenet", weights=None,
+                        final_upsample=False, compute_dtype="bfloat16")
+    p, _ = build_model(cfg, seed=0)
+    ckpt = str(tmp_path / "rand.npz")
+    save_params_npz(p, ckpt)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "lm_eval.json")
+    monkeypatch.setattr(sys, "argv", [
+        "label_map_eval.py", "--load_params", ckpt, "--backbone", "mobilenet",
+        "--size", "64", "--eval_images", "2", "--class_ids", "8", "12",
+        "--num_aug", "4", "--num_iter", "6", "--out", out])
+    runpy.run_path(os.path.join(root, "scripts", "label_map_eval.py"),
+                   run_name="__main__")
+
+    result = json.loads(open(out).read())  # allow_nan=False -> strict JSON
+    assert result["eval_images"] == 2
+    for k in ("label_map_mean_iou", "label_map_standard_mean_iou",
+              "label_map_minus_standard", "win_rate_vs_standard"):
+        assert np.isfinite(result[k]), result
+    # label_map IoU includes background, so even a random-init model stays
+    # in [0, 1]; the delta field must equal the difference of the two means.
+    assert abs(result["label_map_minus_standard"]
+               - (result["label_map_mean_iou"]
+                  - result["label_map_standard_mean_iou"])) < 1e-6
+    # per-class block aggregates only scenes where the class is present
+    for c in ("8", "12"):
+        blk = result["per_class_iou"][c]
+        assert 0 <= blk["n"] <= 2 and set(blk) == {"label_map", "standard",
+                                                   "n"}
