@@ -271,3 +271,70 @@ def test_sharded_batch_with_gram_solver(small_setup):
     out = fn(p, im, a, s)
     assert out["aug"].shape == (2, 64, 64, 1)
     assert np.isfinite(np.asarray(out["aug"])).all()
+
+
+def test_multichip_projection_hlo_accounting():
+    """scripts/multichip_projection.py HLO byte accounting, pure unit: the
+    collective regex must catch plain, tuple-shaped, and async (-start)
+    collectives exactly once each, and the ring model must apply
+    2(n-1)/n to all-reduce and (n-1)/n to gather/scatter payloads."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mcp", os.path.join(root, "scripts", "multichip_projection.py"))
+    # Loading executes only module-level code (arg parsing lives in main);
+    # it forces jax_platforms=cpu, which the test env already uses.
+    mcp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mcp)
+
+    hlo = """
+  %all-reduce.1 = f32[100,128,128]{2,1,0} all-reduce(%x), replica_groups={}
+  %ar2 = (f32[64]{0}, bf16[32]{0}) all-reduce(%a, %b), to_apply=%sum
+  %ag = f32[8,16]{1,0} all-gather-start(%y), dimensions={0}
+  %done = f32[8,16]{1,0} all-gather-done(%ag)
+  %noise = f32[4,4]{1,0} add(%p, %q)
+"""
+    stats = mcp.collective_stats(hlo)
+    assert stats["all-reduce"]["count"] == 2
+    assert stats["all-reduce"]["payload_bytes"] == (
+        100 * 128 * 128 * 4 + 64 * 4 + 32 * 2)
+    # -start counted once; -done (no "= shape all-gather(" form) not doubled
+    assert stats["all-gather"]["count"] == 1
+    assert stats["all-gather"]["payload_bytes"] == 8 * 16 * 4
+
+    only_ar = {"all-reduce": {"count": 1, "payload_bytes": 800}}
+    only_ag = {"all-gather": {"count": 1, "payload_bytes": 800}}
+    assert mcp.ring_ici_bytes(only_ar, 8) == int(2 * 7 / 8 * 800)
+    assert mcp.ring_ici_bytes(only_ag, 8) == int(7 / 8 * 800)
+
+
+@pytest.mark.slow
+def test_multichip_projection_end_to_end_small(tmp_path, monkeypatch):
+    """The projection script end to end at CI size: the throughput regime
+    (whole images per chip) must compile with ZERO collectives — the
+    HLO-level proof behind the linear-scaling claim — and the latency
+    regime must show loop-invariant aug collectives."""
+    import json
+    import runpy
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "proj.json")
+    monkeypatch.setattr(sys, "argv", [
+        "multichip_projection.py", "--size", "128", "--num_aug", "16",
+        "--backbone", "mobilenet", "--out", out])
+    runpy.run_path(os.path.join(root, "scripts", "multichip_projection.py"),
+                   run_name="__main__")
+
+    d = json.loads(open(out).read())
+    thr = d["regimes"]["throughput_data_parallel"]
+    assert thr["collectives"] == {}, thr
+    assert thr["ici_bytes_per_image"] == 0
+    assert thr["scaling_model"]["45GBps"]["efficiency"] == 1.0
+    lat = d["regimes"]["latency_aug_sharded"]
+    assert lat["ici_bytes_per_image"] > 0, lat
+    assert lat["collectives_invariant_to_num_iter"] is True
+    assert lat["scaling_model"]["45GBps"]["comm_overhead_fraction"] < 0.05
