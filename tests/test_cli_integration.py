@@ -339,3 +339,46 @@ def test_validate_parity_smoke(fake_voc):
     for row in ("aug_iou_single", "best_iou", "identity_miou",
                 "sweep/argmax_class8"):
         assert row in out
+
+
+def test_threshold_sweep_analyze_clis(fake_voc):
+    """The three remaining reference CLIs end to end as real subprocesses:
+    threshold_tests (one solve, swept thresholds -> th_*.csv, reference
+    threshold_tests.py), sweep_script (one hyperparameter point appended to
+    sweep_*.csv, reference sweep_script.py), and analyze_results (the
+    notebook-parity reporter) consuming both CSVs and writing plots."""
+    import csv as csvmod
+
+    _ensure_staged(fake_voc)
+    exp = os.path.join(fake_voc, "exp_csvs")
+    os.makedirs(exp, exist_ok=True)
+    common = ["--backbone", "mobilenet", "--class_id", "8",
+              "--num_aug", "4", "--num_samples", "2", "--num_iter", "10",
+              "--angle_max", "0.2"]
+
+    th_csv = os.path.join(exp, "th_argmax_2.csv")
+    out = _run(fake_voc, "threshold_tests.py", *common, "--no_validation",
+               "--th_start", "0.2", "--th_stop", "0.8", "--th_step", "0.2",
+               "--output_csv", th_csv)
+    assert "Best threshold:" in out
+    with open(th_csv) as f:
+        rows = list(csvmod.DictReader(f))
+    # one row per swept threshold (0.2, 0.4, 0.6, 0.8), one solve total
+    assert [float(r["th_factor"]) for r in rows] == [0.2, 0.4, 0.6, 0.8]
+    assert all(np.isfinite(float(r["avg_iou"])) for r in rows)
+
+    sweep_csv = os.path.join(exp, "sweep_argmax_2.csv")
+    out = _run(fake_voc, "sweep_script.py", *common,
+               "--lambda_tv", "0.35", "--lambda_L2", "0.6",
+               "--output_csv", sweep_csv)
+    assert "Appended sweep row" in out
+    with open(sweep_csv) as f:
+        rows = list(csvmod.DictReader(f))
+    assert len(rows) == 1
+    assert float(rows[0]["lambda_tv"]) == 0.35
+    assert np.isfinite(float(rows[0]["aug_iou_single"]))
+
+    out = _run(fake_voc, "analyze_results.py", "--experiments_dir", exp)
+    assert "[threshold] th_argmax_2.csv: best th_factor=" in out
+    assert "[sweep] sweep_argmax_2.csv: 1 runs" in out
+    assert os.path.exists(th_csv.replace(".csv", ".png"))
