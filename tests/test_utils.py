@@ -127,3 +127,40 @@ def test_device_resilient_retries_runtime_errors():
 
     with _pytest.raises(TypeError):
         type_error()
+
+
+def test_robustness_compare_aggregate_both_schemas(tmp_path):
+    """scripts/robustness_compare.py reads BOTH grid schemas: this repo's
+    check_robustness output (Angle,Shift_x,Shift_y,Mean_IoU) and the
+    reference's published robustness_data CSVs (Angle,Shift_X,Shift_Y,mIoU
+    — reference check_robustness.py:101-141), case-insensitively."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rc", os.path.join(root, "scripts", "robustness_compare.py"))
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+
+    ours = tmp_path / "robustness_ours.csv"
+    ours.write_text(
+        "Angle,Shift_x,Shift_y,Mean_IoU\n"
+        "0.0,0,0,0.9\n"
+        "0.1,0,0,0.8\n"
+        "0.6,10,-10,0.4\n")
+    ref = tmp_path / "robustness_ref.csv"
+    ref.write_text(
+        "Angle,Shift_X,Shift_Y,mIoU\n"
+        "0.0,0,0,0.7\n"
+        "-0.5,5,5,0.3\n")
+
+    a = rc.aggregate(str(ours))
+    assert a["rows"] == 3 and a["identity"] == 0.9
+    assert abs(a["mean"] - (0.9 + 0.8 + 0.4) / 3) < 1e-12
+    assert abs(a["mean_small_rot"] - (0.9 + 0.8) / 2) < 1e-12
+    assert a["mean_large_rot"] == 0.4
+
+    b = rc.aggregate(str(ref))
+    assert b["rows"] == 2 and b["identity"] == 0.7
+    assert b["mean_large_rot"] == 0.3
