@@ -278,6 +278,15 @@ def main():
         return x
 
     json_path = f"{args.out_prefix}_validation.json"
+    if os.path.exists(json_path):
+        # Merge: a rerun of one mode (e.g. after a TPU-worker fault killed a
+        # later arm) must not discard the modes an earlier run already
+        # finished. Current-run modes overwrite same-named prior entries.
+        try:
+            with open(json_path) as f:
+                summary["modes"].update(json.load(f).get("modes", {}))
+        except (json.JSONDecodeError, OSError):
+            pass  # corrupt/partial file: start fresh
 
     def write_summary():
         # Incremental: one finished mode is durable even if a later mode's
