@@ -41,9 +41,22 @@ parser.add_argument("--candidates", type=int, default=32,
 parser.add_argument("--output_csv", type=str, default=None)
 
 
+def _snap_to_q(x, lo, hi, q):
+    """Quantize x onto the {lo + k*q} grid (wandb q_uniform semantics),
+    clamped to [lo, hi]; integral grids come back as ints (e.g. the
+    reference's decay_steps q=20 grid must feed an int schedule knob)."""
+    val = lo + round((x - lo) / q) * q
+    val = min(max(val, lo), hi)
+    if float(q).is_integer() and float(lo).is_integer():
+        return int(round(val))
+    return round(val, 10)
+
+
 class Space:
     """The wandb sweep parameter schema: value / values / uniform /
-    log_uniform_values distributions."""
+    q_uniform / log_uniform_values distributions (the reference's own sweep
+    YAMLs use q_uniform for the lambda and decay grids,
+    reference configs/sweep_configs/sweep.yaml:19-33, sweep_all.yaml:23-45)."""
 
     def __init__(self, params: dict):
         self.fixed = {}
@@ -58,6 +71,9 @@ class Space:
                 lo, hi = float(spec["min"]), float(spec["max"])
                 if dist in ("log_uniform_values", "log_uniform"):
                     self.searched[name] = ("log", (lo, hi))
+                elif dist in ("q_uniform", "q_log_uniform"):
+                    q = float(spec.get("q", 1.0))
+                    self.searched[name] = ("q", (lo, hi, q))
                 else:
                     self.searched[name] = ("uniform", (lo, hi))
 
@@ -69,6 +85,9 @@ class Space:
             elif kind == "log":
                 lo, hi = arg
                 out[name] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+            elif kind == "q":
+                lo, hi, q = arg
+                out[name] = _snap_to_q(rng.uniform(lo, hi), lo, hi, q)
             else:
                 out[name] = rng.uniform(*arg)
         return out
@@ -93,6 +112,8 @@ class TPE:
                 counts[a] = counts.get(a, 1.0) + 1.0
             total = sum(counts.values())
             return counts.get(x, 1.0) / total
+        if kind == "q":  # continuous KDE on the underlying interval
+            kind, arg = "uniform", arg[:2]
         lo, hi = arg
         if kind == "log":
             lo, hi = math.log(lo), math.log(hi)
@@ -120,7 +141,7 @@ class TPE:
                     val = anchor if self.rng.random() < 0.8 else \
                         self.rng.choice(arg)
                 else:
-                    lo, hi = arg
+                    lo, hi = arg[0], arg[1]
                     span = (math.log(hi) - math.log(lo)) if kind == "log" \
                         else (hi - lo)
                     jitter = self.rng.gauss(0.0, span /
@@ -130,6 +151,8 @@ class TPE:
                                                math.log(lo)), math.log(hi)))
                     else:
                         val = min(max(anchor + jitter, lo), hi)
+                    if kind == "q":
+                        val = _snap_to_q(val, lo, hi, arg[2])
                 cand[name] = val
                 pg = self._density(kind, arg, [g[name] for g in good], val)
                 pb = self._density(kind, arg, [b[name] for b in bad], val)

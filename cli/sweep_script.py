@@ -59,8 +59,8 @@ def run_config(args):
         f"sweep_{args.mode}_{args.num_samples}.csv")
     os.makedirs(os.path.dirname(out_csv), exist_ok=True)
     fields = ["lambda_tv", "lambda_L2", "lambda_L1", "learning_rate",
-              "num_iter", "copy_dropout", "use_BTV", "optimizer",
-              "sgd_copies"] + list(metrics)
+              "num_iter", "copy_dropout", "use_BTV", "optimizer", "amsgrad",
+              "decay_rate", "decay_steps", "sgd_copies"] + list(metrics)
     write_header = not os.path.exists(out_csv)
     with open(out_csv, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)

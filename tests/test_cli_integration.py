@@ -154,6 +154,46 @@ parameters:
     assert "aug_iou_single" in rows[0]
 
 
+def test_sweep_space_q_uniform():
+    """The reference's own sweep YAMLs use wandb q_uniform grids (reference
+    configs/sweep_configs/sweep.yaml:19-33, sweep_all.yaml:23-45); the
+    offline agent must sample AND propose on those grids, with integral
+    grids (decay_steps q=20) coming back as ints."""
+    import importlib.util
+    import random as _random
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_agent", os.path.join(CLI, "sweep_agent.py"))
+    sa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sa)
+
+    space = sa.Space({
+        "lambda_tv": {"distribution": "q_uniform", "min": 0.0, "max": 5.0,
+                      "q": 0.05},
+        "decay_steps": {"distribution": "q_uniform", "min": 20, "max": 100,
+                        "q": 20},
+        "optimizer": {"values": ["adam", "sgd"]},
+        "num_aug": {"value": 100},
+    })
+    assert space.fixed == {"num_aug": 100}
+    rng = _random.Random(0)
+    tpe = sa.TPE(space, rng, 0.3, 16)
+    history = []
+    for _ in range(50):
+        s = space.sample(rng)
+        assert 0.0 <= s["lambda_tv"] <= 5.0
+        assert abs(s["lambda_tv"] / 0.05 - round(s["lambda_tv"] / 0.05)) < 1e-9
+        assert isinstance(s["decay_steps"], int)
+        assert s["decay_steps"] in (20, 40, 60, 80, 100)
+        history.append((s, rng.random()))
+    for _ in range(10):
+        p = tpe.propose(history)
+        assert abs(p["lambda_tv"] / 0.05 - round(p["lambda_tv"] / 0.05)) < 1e-9
+        assert isinstance(p["decay_steps"], int)
+        assert p["decay_steps"] in (20, 40, 60, 80, 100)
+        assert p["optimizer"] in ("adam", "sgd")
+
+
 def test_cli_test_sr_smoke(fake_voc):
     img = os.path.join(fake_voc, "data", "dataset_root", "VOCdevkit",
                        "VOC2012", "JPEGImages", "2007_000001.jpg")
