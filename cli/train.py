@@ -177,14 +177,24 @@ def main():
     ap.add_argument("--eval_images", type=int, default=16)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--ckpt_dir", default="",
-                    help="write step_<N>.npz checkpoints here")
+                    help="write step_<N> checkpoints here")
     ap.add_argument("--ckpt_every", type=int, default=200)
+    ap.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
+                    help="npz: one flat .npz per checkpoint (also valid as "
+                         "any CLI's --weights_path). orbax: a step_<N>/ "
+                         "checkpoint DIRECTORY per save via orbax's "
+                         "StandardCheckpointer — arrays are written with "
+                         "their shardings, so a --devices/--multihost run "
+                         "saves the DISTRIBUTED train state without "
+                         "gathering it to one host (each process writes its "
+                         "own shards; utils/checkpoint.py)")
     ap.add_argument("--resume", default="",
                     help="checkpoint to start from. A --ckpt_dir train-state "
-                         ".npz restores params + optimizer moments + "
-                         "LR-schedule step and continues the run exactly "
-                         "(--steps more steps from there); a params-only "
-                         ".npz or .h5 warm-starts params only")
+                         ".npz (or an orbax step_<N>/ directory) restores "
+                         "params + optimizer moments + LR-schedule step and "
+                         "continues the run exactly (--steps more steps "
+                         "from there); a params-only .npz or .h5 warm-starts "
+                         "params only")
     ap.add_argument("--save_params", default="trained_params.npz",
                     help="final params .npz ('' to skip)")
     ap.add_argument("--seed", type=int, default=SEED)
@@ -211,7 +221,8 @@ def main():
         final_upsample=True, compute_dtype=args.compute_dtype)
     params = init_params(cfg, seed=args.seed)
     resume_opt_leaves, start_step = None, 0
-    if args.resume:
+    orbax_resume = bool(args.resume) and os.path.isdir(args.resume)
+    if args.resume and not orbax_resume:
         from deeplabv3plus_augmented_superresolution_tpu.models import (
             build_model)
         params, _ = build_model(cfg, params=params, weights_path=args.resume)
@@ -236,6 +247,20 @@ def main():
             print(f"[train] WARNING: checkpoint optimizer state does not fit "
                   f"the requested optimizer ({e}); starting the optimizer "
                   f"fresh")
+    if orbax_resume:
+        # Orbax checkpoint directory: the full train-state pytree restores
+        # against the freshly built (params, opt_state) template, so
+        # structure/dtype mismatches fail loudly instead of mis-assigning.
+        import numpy as np
+        from deeplabv3plus_augmented_superresolution_tpu.utils import (
+            restore_checkpoint)
+        restored = restore_checkpoint(
+            args.resume, template={"params": params, "opt_state": opt_state,
+                                   "step": np.asarray(0)})
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_step = int(restored["step"])
+        print(f"[train] resumed orbax train state from {args.resume} "
+              f"at step {start_step}")
 
     mesh = None
     if args.multihost:
@@ -280,17 +305,29 @@ def main():
         return np.asarray(imj), np.asarray(lbj)
 
     def maybe_checkpoint(params, opt_state, done):
-        if args.ckpt_dir and done % args.ckpt_every == 0:
+        if not (args.ckpt_dir and done % args.ckpt_every == 0):
+            return
+        if args.ckpt_format == "orbax":
             from deeplabv3plus_augmented_superresolution_tpu.utils import (
-                save_train_state)
-            os.makedirs(args.ckpt_dir, exist_ok=True)
-            path = os.path.join(args.ckpt_dir, f"step_{done}.npz")
-            # Full train state (params + optimizer moments + schedule step)
-            # so --resume continues the interrupted run exactly; the file
-            # stays --weights_path-compatible (extra keys are __-prefixed).
-            save_train_state(path, jax.device_get(params),
-                             jax.device_get(opt_state), done)
-            print(f"[train] checkpoint -> {path}")
+                save_checkpoint)
+            path = os.path.join(args.ckpt_dir, f"step_{done}")
+            # The arrays go to orbax WITH their shardings — a mesh run
+            # writes the distributed train state shard-by-shard (no
+            # gather-to-host), which is this format's reason to exist.
+            save_checkpoint(path, {"params": params, "opt_state": opt_state,
+                                   "step": np.asarray(done)})
+            print(f"[train] orbax checkpoint -> {path}")
+            return
+        from deeplabv3plus_augmented_superresolution_tpu.utils import (
+            save_train_state)
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        path = os.path.join(args.ckpt_dir, f"step_{done}.npz")
+        # Full train state (params + optimizer moments + schedule step)
+        # so --resume continues the interrupted run exactly; the file
+        # stays --weights_path-compatible (extra keys are __-prefixed).
+        save_train_state(path, jax.device_get(params),
+                         jax.device_get(opt_state), done)
+        print(f"[train] checkpoint -> {path}")
 
     total_steps = start_step + args.steps
 

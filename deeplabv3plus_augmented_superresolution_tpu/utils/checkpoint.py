@@ -10,8 +10,12 @@ hdf5 staging layer. Here:
     params-only checkpoint for every CLI's --weights_path (the extra keys
     are `__`-prefixed and `load_params_npz` skips them).
   * orbax-backed pytree checkpoints (`save_checkpoint` / `restore_checkpoint`)
-    for arbitrary pytrees (e.g. solver state) where the async/sharded orbax
-    machinery is wanted.
+    — cli/train.py `--ckpt_format orbax` writes the FULL train state
+    (params + optimizer state + step) as a checkpoint directory with each
+    array's sharding preserved, so a --devices/--multihost run saves the
+    distributed state shard-by-shard instead of gathering it to one host
+    (the .npz path device_gets everything; tests/test_training.py pins the
+    sharded round trip on the fake mesh).
 """
 
 import os
