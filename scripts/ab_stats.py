@@ -200,6 +200,9 @@ def main():
 
         train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
         key = jax.random.key(args.seed)
+        print("[ab_stats] scenes on device; compiling the train chunk "
+              "(the 512-px program takes ~10-12 min through the tunnel)",
+              flush=True)
         t0 = time.time()
         done = 0
         for m in milestones:
