@@ -422,3 +422,31 @@ def test_threshold_sweep_analyze_clis(fake_voc):
     assert "[threshold] th_argmax_2.csv: best th_factor=" in out
     assert "[sweep] sweep_argmax_2.csv: 1 runs" in out
     assert os.path.exists(th_csv.replace(".csv", ".png"))
+
+
+def test_bench_all_assembles_rows(tmp_path):
+    """BENCH_ALL=1 runs each selected mode as an isolated subprocess and
+    emits ONE JSON line whose `rows` array carries every mode's metric +
+    hw_utilization (VERDICT r4 next #4: the full perf surface in one
+    committed artifact). The cheap train row exercises the plumbing."""
+    import json as _json
+
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "BENCH_ALL": "1",
+                "BENCH_ALL_MODES": "train", "BENCH_TRAIN_SIZE": "64",
+                "BENCH_BATCH": "2", "BENCH_REPEATS": "1"})
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")], env=env,
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    doc = _json.loads(line)
+    assert doc["metric"] == "asr_bench_all"
+    assert [r["mode"] for r in doc["rows"]] == ["train"]
+    row = doc["rows"][0]
+    assert row["metric"] == "train_images_per_sec" and row["value"] > 0
+    hw = row["hw_utilization"]
+    assert "sol_fraction" in hw and hw["sol"]["n_conv"] > 0
+    # CPU cost analysis reports negative optimal_seconds; the sol line must
+    # not forward backend garbage.
+    assert hw["sol"].get("xla_optimal_seconds", 1) > 0

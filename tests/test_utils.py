@@ -164,3 +164,95 @@ def test_robustness_compare_aggregate_both_schemas(tmp_path):
     b = rc.aggregate(str(ref))
     assert b["rows"] == 2 and b["identity"] == 0.7
     assert b["mean_large_rot"] == 0.3
+
+
+_CANNED_HLO = """
+HloModule jit_step, entry_computation_layout={...}
+
+%fused_computation (param_0: bf16[4,64,64,32], param_1: bf16[3,3,32,64]) -> bf16[4,64,64,64] {
+  %param_0 = bf16[4,64,64,32]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %param_1 = bf16[3,3,32,64]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  ROOT %convolution.1 = bf16[4,64,64,64]{3,2,1,0:T(8,128)(2,1)} convolution(%param_0, %param_1), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f, metadata={op_name="conv"}
+}
+
+ENTRY %main (p0: bf16[4,64,64,32]) -> f32[8,256] {
+  %p0 = bf16[4,64,64,32]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %k_dense = bf16[3,3,32,64]{3,2,1,0} parameter(1)
+  %fusion.1 = bf16[4,64,64,64]{3,2,1,0:T(8,128)(2,1)} fusion(%p0, %k_dense), kind=kOutput, calls=%fused_computation
+  %k_dw = bf16[3,3,1,64]{3,2,1,0} parameter(2)
+  %convolution.2 = bf16[4,64,64,64]{3,2,1,0:T(8,128)(2,1)S(1)} convolution(%fusion.1, %k_dw), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f, feature_group_count=64, metadata={op_name="dw"}
+  %lhs = f32[8,128]{1,0} parameter(3)
+  %rhs = f32[128,256]{1,0} parameter(4)
+  ROOT %dot.1 = f32[8,256]{1,0:T(8,128)} dot(%lhs, %rhs), lhs_contracting_dims={1}, rhs_contracting_dims={0}, metadata={op_name="mm"}
+}
+"""
+
+
+def test_roofline_hlo_flop_classes():
+    """The SOL accounting's FLOP split (utils/roofline.py) must reproduce
+    the analytic conv/dot counts from real TPU-style HLO text: dense convs
+    and dots -> MXU, feature_group_count>1 (depthwise) convs -> VPU."""
+    from deeplabv3plus_augmented_superresolution_tpu.utils import (
+        parse_hlo_flop_classes,
+    )
+
+    cls = parse_hlo_flop_classes(_CANNED_HLO)
+    dense = 2 * (4 * 64 * 64 * 64) * 9 * 32
+    dw = 2 * (4 * 64 * 64 * 64) * 9 * 1
+    dot = 2 * (8 * 256) * 128
+    assert cls["n_conv"] == 2 and cls["n_dot"] == 1
+    assert cls["mxu_flops"] == dense + dot
+    assert cls["dw_flops"] == dw
+
+
+def test_roofline_sol_summary_composed_bound():
+    """sol = max(sum of per-class compute times, bytes/BW); unattributed
+    flops (cost_analysis total minus parsed conv/dot) land in the
+    elementwise-VPU class so the compute side never undercounts."""
+    from deeplabv3plus_augmented_superresolution_tpu.utils import roofline
+    from deeplabv3plus_augmented_superresolution_tpu.utils import sol_summary
+
+    cls = roofline.parse_hlo_flop_classes(_CANNED_HLO)
+    extra_elementwise = 5e9
+    total = cls["mxu_flops"] + cls["dw_flops"] + extra_elementwise
+    measured = 0.05
+    out = sol_summary(_CANNED_HLO, total, total_bytes=1e9,
+                      measured_seconds=measured, xla_optimal_seconds=0.001)
+    t_expected = (cls["mxu_flops"] / roofline.MXU_PEAK_FLOPS
+                  + cls["dw_flops"] / roofline.VPU_PEAK_FLOPS
+                  + extra_elementwise / roofline.VPU_PEAK_FLOPS)
+    t_expected = max(t_expected, 1e9 / roofline.HBM_BYTES_PER_S)
+    assert abs(out["sol_ms"] - t_expected * 1e3) < 0.01
+    assert abs(out["sol_fraction"] - t_expected / measured) < 1e-3
+    assert out["sol_lb_ms"] <= out["sol_ms"]
+    assert out["bound_by"] in ("mxu", "depthwise_vpu", "elementwise_vpu",
+                               "hbm")
+    assert out["xla_optimal_seconds"] == 0.001
+    # A memory-bound program flips the binding constraint.
+    mem = sol_summary(_CANNED_HLO, total, total_bytes=1e12,
+                      measured_seconds=measured)
+    assert mem["bound_by"] == "hbm"
+
+
+def test_roofline_parses_live_compiled_module():
+    """End-to-end against a really-compiled jit program (whatever backend
+    the test session uses): parsing must not crash, and any conv the
+    backend kept as an HLO convolution must be classified."""
+    import jax
+    from jax import lax
+
+    from deeplabv3plus_augmented_superresolution_tpu.utils import (
+        parse_hlo_flop_classes,
+    )
+
+    def f(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    w = jnp.zeros((3, 3, 4, 8), jnp.float32)
+    compiled = jax.jit(f).lower(x, w).compile()
+    cls = parse_hlo_flop_classes(compiled.as_text())
+    assert cls["mxu_flops"] >= 0 and cls["dw_flops"] >= 0
+    if cls["n_conv"]:
+        assert cls["mxu_flops"] == 2 * (1 * 8 * 8 * 8) * 9 * 4
