@@ -38,6 +38,9 @@ parser.add_argument("--startup_trials", type=int, default=8,
 parser.add_argument("--top_quantile", type=float, default=0.3)
 parser.add_argument("--candidates", type=int, default=32,
                     help="candidate draws scored per Bayes proposal")
+parser.add_argument("--explore_every", type=int, default=4,
+                    help="every Nth trial is a pure random draw even in "
+                         "bayes mode (0 disables)")
 parser.add_argument("--output_csv", type=str, default=None)
 
 
@@ -129,6 +132,14 @@ class TPE:
         n_good = max(1, int(len(ranked) * self.top_quantile))
         good = [t[0] for t in ranked[:n_good]]
         bad = [t[0] for t in ranked[n_good:]] or good
+        # Quantized spaces (the reference's q_uniform grids) make exact
+        # repeat proposals likely once the model concentrates — e.g. a best
+        # point on the grid boundary snaps every clamped jitter back onto
+        # itself. A repeated trial is a wasted solve pass, so evaluated
+        # configurations are excluded from the candidate pool (and if every
+        # candidate is a repeat, the proposal falls back to a fresh random
+        # draw — exploration instead of a duplicate).
+        seen = {tuple(sorted(t[0].items())) for t in history}
 
         best_cand, best_score = None, -math.inf
         for _ in range(self.candidates):
@@ -157,9 +168,12 @@ class TPE:
                 pg = self._density(kind, arg, [g[name] for g in good], val)
                 pb = self._density(kind, arg, [b[name] for b in bad], val)
                 score += math.log(pg / pb)
+            if tuple(sorted(cand.items())) in seen:
+                continue
             if score > best_score:
                 best_cand, best_score = cand, score
-        return best_cand
+        return best_cand if best_cand is not None else \
+            self.space.sample(self.rng)
 
 
 def main():
@@ -205,7 +219,13 @@ def main():
           f"{sorted(space.fixed)} | method {method} | metric {metric}")
     best = None
     for trial in range(args.trials):
-        if method == "bayes" and len(history) >= args.startup_trials:
+        # Interleaved exploration: every Nth trial is a fresh random draw
+        # even once the Bayes model has taken over, so the sweep keeps
+        # covering the space (the structural statistics — quartile means,
+        # correlations — need coverage, not just exploitation).
+        explore = args.explore_every and (trial + 1) % args.explore_every == 0
+        if (method == "bayes" and len(history) >= args.startup_trials
+                and not explore):
             params = tpe.propose(history)
         else:
             params = space.sample(rng)

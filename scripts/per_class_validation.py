@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--save_params", default="")
     ap.add_argument("--load_params", default="")
+    ap.add_argument("--train_only", action="store_true",
+                    help="train + --save_params, then exit (checkpoint "
+                         "factory for label_map_eval and friends)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU configuration (CI); explicit flags still "
                          "override the quick defaults")
@@ -208,6 +211,13 @@ def main():
     if args.save_params:
         save_params_npz(jax.device_get(params), args.save_params)
         print(f"[per_class] params -> {args.save_params}")
+    if args.train_only:
+        # Checkpoint-factory mode: downstream evals (e.g.
+        # scripts/label_map_eval.py at 20 classes) reuse the exact
+        # all-classes training recipe without repeating the committed
+        # validation sweep.
+        print("[per_class] --train_only: skipping the validation phases")
+        return
 
     # ---- 2. held-out scene pool (every class >= min_class_n scenes) -------
     eval_imgs, eval_labs = synthetic_batch(
