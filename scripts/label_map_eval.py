@@ -37,9 +37,14 @@ os.environ.setdefault("TPU_WORKER_ID", "0")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--load_params", required=True,
-                    help=".npz checkpoint (e.g. a quality_demo --save_params "
-                         "or cli/train.py output)")
+    ap.add_argument("--load_params", required=True, nargs="+",
+                    help=".npz checkpoint(s) (e.g. quality_demo/"
+                         "per_class_validation --save_params or cli/train.py "
+                         "output). With several, every checkpoint is scored "
+                         "on the SAME scenes/TTA/stencil in one process — "
+                         "the multiclass program compiles once (params are "
+                         "a traced argument) and the JSON carries one arm "
+                         "per checkpoint")
     ap.add_argument("--backbone", default="xception",
                     choices=["xception", "mobilenet"])
     ap.add_argument("--size", type=int, default=512)
@@ -81,8 +86,10 @@ def main():
     model_cfg = DeepLabConfig(
         input_shape=(size, size, 3), classes=21, backbone=args.backbone,
         weights=None, final_upsample=False, compute_dtype="bfloat16")
-    params, _ = build_model(model_cfg, seed=0,
-                            weights_path=args.load_params)
+    arms = {}
+    for path in args.load_params:
+        label = os.path.splitext(os.path.basename(path))[0]
+        arms[label], _ = build_model(model_cfg, seed=0, weights_path=path)
 
     feat = size // (4 if args.backbone == "xception" else 8)
     sr_cfg = SRConfig(
@@ -114,60 +121,81 @@ def main():
     gram_coeffs = jax.jit(precompute_gram_stencil,
                           static_argnames=("cfg",))(angles, shifts, sr_cfg)
 
-    lm_ious, std_ious, per_class = [], [], {c: {"lm": [], "std": []}
-                                            for c in args.class_ids}
-    t0 = time.time()
-    for i, (img, lab) in enumerate(scenes):
-        out = asr_step_multiclass(
-            params, jnp.asarray(img), angles, shifts, model_cfg, sr_cfg,
-            class_ids=tuple(args.class_ids), mode="argmax",
-            th_factor=args.th_factor, class_chunk=args.class_chunk,
-            gram_coeffs=gram_coeffs, return_label_map=True)
-        lm = np.asarray(out["label_map"])[..., 0]
-        std = np.asarray(out["label_map_standard"])[..., 0]
-        lm_ious.append(float(mean_iou(lab, lm)))
-        std_ious.append(float(mean_iou(lab, std)))
-        from deeplabv3plus_augmented_superresolution_tpu.metrics import (
-            single_class_iou,
-        )
-        for c in args.class_ids:
-            if (lab == c).any():
-                per_class[c]["lm"].append(
-                    float(single_class_iou(lab, lm, c)))
-                per_class[c]["std"].append(
-                    float(single_class_iou(lab, std, c)))
-        print(f"[label_map_eval] scene {i}: label_map {lm_ious[-1]:.4f} "
-              f"standard {std_ious[-1]:.4f}", flush=True)
-    eval_s = time.time() - t0
+    from deeplabv3plus_augmented_superresolution_tpu.metrics import (
+        single_class_iou,
+    )
 
-    result = {
+    def evaluate(params, label):
+        lm_ious, std_ious = [], []
+        per_class = {c: {"lm": [], "std": []} for c in args.class_ids}
+        t0 = time.time()
+        for i, (img, lab) in enumerate(scenes):
+            out = asr_step_multiclass(
+                params, jnp.asarray(img), angles, shifts, model_cfg, sr_cfg,
+                class_ids=tuple(args.class_ids), mode="argmax",
+                th_factor=args.th_factor, class_chunk=args.class_chunk,
+                gram_coeffs=gram_coeffs, return_label_map=True)
+            lm = np.asarray(out["label_map"])[..., 0]
+            std = np.asarray(out["label_map_standard"])[..., 0]
+            lm_ious.append(float(mean_iou(lab, lm)))
+            std_ious.append(float(mean_iou(lab, std)))
+            for c in args.class_ids:
+                if (lab == c).any():
+                    per_class[c]["lm"].append(
+                        float(single_class_iou(lab, lm, c)))
+                    per_class[c]["std"].append(
+                        float(single_class_iou(lab, std, c)))
+            print(f"[label_map_eval] {label} scene {i}: label_map "
+                  f"{lm_ious[-1]:.4f} standard {std_ious[-1]:.4f}",
+                  flush=True)
+        return {
+            "eval_s": round(time.time() - t0, 1),
+            "label_map_mean_iou": round(float(np.mean(lm_ious)), 4),
+            "label_map_standard_mean_iou": round(
+                float(np.mean(std_ious)), 4),
+            "label_map_minus_standard": round(
+                float(np.mean(lm_ious)) - float(np.mean(std_ious)), 4),
+            "win_rate_vs_standard": round(
+                float(np.mean([a >= b
+                               for a, b in zip(lm_ious, std_ious)])), 3),
+            "per_class_iou": {
+                str(c): {"label_map": round(float(np.mean(v["lm"])), 4),
+                         "standard": round(float(np.mean(v["std"])), 4),
+                         "n": len(v["lm"])}
+                for c, v in per_class.items() if v["lm"]},
+        }
+
+    shared = {
         "backbone": args.backbone, "size": size,
         "eval_images": len(scenes), "class_ids": args.class_ids,
         "num_aug": args.num_aug, "num_iter": args.num_iter,
         "th_factor": args.th_factor, "hard_scenes": args.hard,
+        "class_chunk": args.class_chunk,
         "loaded_params": args.load_params, "seed": args.seed,
-        "eval_s": round(eval_s, 1),
-        "label_map_mean_iou": round(float(np.mean(lm_ious)), 4),
-        "label_map_standard_mean_iou": round(float(np.mean(std_ious)), 4),
-        "label_map_minus_standard": round(
-            float(np.mean(lm_ious)) - float(np.mean(std_ious)), 4),
-        "win_rate_vs_standard": round(
-            float(np.mean([a >= b for a, b in zip(lm_ious, std_ious)])), 3),
-        "per_class_iou": {
-            str(c): {"label_map": round(float(np.mean(v["lm"])), 4),
-                     "standard": round(float(np.mean(v["std"])), 4),
-                     "n": len(v["lm"])}
-            for c, v in per_class.items()},
         "note": ("label_map = full-scene HR segmentation from per-class "
                  "aug-SR targets (the reference has no such product: one "
                  "class per staged run); standard = plain upsampled argmax "
                  "labels from the same forward"),
     }
+    blocks = {label: evaluate(params, label)
+              for label, params in arms.items()}
+    if len(blocks) == 1:
+        result = {**shared, **next(iter(blocks.values()))}
+        headline = {k: result[k] for k in
+                    ("label_map_mean_iou", "label_map_standard_mean_iou",
+                     "label_map_minus_standard", "win_rate_vs_standard")}
+    else:
+        result = {**shared, "arms": blocks,
+                  "paired_design": ("identical scenes + TTA set + Gram "
+                                    "stencil for every checkpoint")}
+        headline = {label: {
+            "label_map_mean_iou": b["label_map_mean_iou"],
+            "label_map_minus_standard": b["label_map_minus_standard"],
+            "win_rate_vs_standard": b["win_rate_vs_standard"]}
+            for label, b in blocks.items()}
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2, allow_nan=False)
-    print(json.dumps({k: result[k] for k in
-                      ("label_map_mean_iou", "label_map_standard_mean_iou",
-                       "label_map_minus_standard", "win_rate_vs_standard")}))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -770,3 +770,46 @@ def test_label_map_eval_end_to_end_small(tmp_path, monkeypatch):
         blk = result["per_class_iou"][c]
         assert 0 <= blk["n"] <= 2 and set(blk) == {"label_map", "standard",
                                                    "n"}
+
+
+def test_label_map_eval_multi_checkpoint_arms(tmp_path, monkeypatch):
+    """Several --load_params score on identical scenes/TTA/stencil in one
+    process (the multiclass program compiles once; params are traced
+    arguments) and the artifact carries one arm per checkpoint — the
+    20-class flagship eval shape (experiments/label_map_eval_20class.json)."""
+    import runpy
+    import sys
+
+    from deeplabv3plus_augmented_superresolution_tpu.models import (
+        build_model,
+        save_params_npz,
+    )
+
+    cfg = DeepLabConfig(input_shape=(64, 64, 3), classes=21,
+                        backbone="mobilenet", weights=None,
+                        final_upsample=False, compute_dtype="bfloat16")
+    ckpts = []
+    for seed in (0, 1):
+        p, _ = build_model(cfg, seed=seed)
+        path = str(tmp_path / f"arm{seed}.npz")
+        save_params_npz(p, path)
+        ckpts.append(path)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "lm_arms.json")
+    monkeypatch.setattr(sys, "argv", [
+        "label_map_eval.py", "--load_params", *ckpts,
+        "--backbone", "mobilenet", "--size", "64", "--eval_images", "2",
+        "--class_ids", "8", "12", "--num_aug", "4", "--num_iter", "6",
+        "--out", out])
+    runpy.run_path(os.path.join(root, "scripts", "label_map_eval.py"),
+                   run_name="__main__")
+
+    result = json.loads(open(out).read())
+    assert set(result["arms"]) == {"arm0", "arm1"}
+    for blk in result["arms"].values():
+        assert np.isfinite(blk["label_map_mean_iou"])
+        assert abs(blk["label_map_minus_standard"]
+                   - (blk["label_map_mean_iou"]
+                      - blk["label_map_standard_mean_iou"])) < 1e-6
+    assert "identical scenes" in result["paired_design"]
