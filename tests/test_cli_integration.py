@@ -437,7 +437,7 @@ def test_bench_all_assembles_rows(tmp_path):
                 "BENCH_BATCH": "2", "BENCH_REPEATS": "1"})
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")], env=env,
-        capture_output=True, text=True, timeout=900)
+        capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     doc = _json.loads(line)
