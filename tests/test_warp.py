@@ -112,3 +112,38 @@ def test_inverse_warp_roundtrip():
     back = np.asarray(rotate(translate(fwd, -shift), -angle))
     center = (slice(None), slice(24, 40), slice(24, 40), slice(None))
     np.testing.assert_allclose(back[center], images[center], atol=0.15)
+
+
+def test_bilateral_tv_matches_resampler_formula():
+    """bilateral_tv's static pad+slice shifts must be bit-equal to the
+    original tfa-style nearest-resample formulation (integer offsets make
+    the resample exact), in value AND gradient — the static form exists
+    because the resampler cost ~85 ms/iteration inside the solver scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.ops import bilateral_tv
+    from deeplabv3plus_augmented_superresolution_tpu.ops.warp import translate
+
+    def btv_resampler(image, alpha=0.6, shift_factor=2):
+        pairs = [(h, v)
+                 for h in range(-shift_factor, shift_factor + 1)
+                 for v in range(0, shift_factor + 1)]
+        shifts = jnp.asarray(pairs, jnp.float32)
+        batched = jnp.broadcast_to(image, (len(pairs),) + image.shape[-3:])
+        shifted = translate(batched, shifts, interpolation="nearest")
+        l1 = jnp.sum(jnp.abs(batched - shifted), axis=(-3, -2, -1))
+        weights = alpha ** jnp.abs(shifts).sum(axis=-1)
+        return jnp.sum(weights * l1)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 17, 23, 1)).astype(np.float32))
+    v_new, g_new = jax.value_and_grad(bilateral_tv)(x)
+    v_old, g_old = jax.value_and_grad(btv_resampler)(x)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_old),
+                               rtol=1e-6)
+    # f32 accumulation order differs (per-shift loop vs batched sum):
+    # tolerance covers summation noise only, not semantics.
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-5, atol=1e-6)
