@@ -83,6 +83,24 @@ def lambda_findings(df, label):
     return out
 
 
+def noop_anchor(df):
+    """Detect the no-op-solve anchor: with a weak optimizer/lr draw the
+    solver leaves the initialization untouched, so those trials score a
+    BIT-IDENTICAL aug_iou (the init's own IoU). Three or more exact
+    repeats of one float can't come from distinct 400-iteration solves."""
+    counts = df["aug_iou"].value_counts()
+    if not len(counts) or counts.iloc[0] < 3:
+        return None, df
+    v = float(counts.index[0])
+    mask = df["aug_iou"] == counts.index[0]
+    return ({"aug_iou": round(v, 4), "n_trials": int(mask.sum()),
+             "interpretation": ("bit-identical metric across these trials "
+                                "=> the solve was a no-op; this value is "
+                                "the initialization's IoU, not an "
+                                "optimizer win")},
+            df[~mask])
+
+
 def wide_findings(df, label):
     """Findings 3-5 from a sweep_all-style table."""
     import numpy as np
@@ -91,6 +109,12 @@ def wide_findings(df, label):
     out = {"label": label, "n_trials": int(len(df))}
     if not len(df):
         return out
+    anchor, df_real = noop_anchor(df)
+    if anchor is not None:
+        out["noop_anchor"] = anchor
+        out["best_real_solve_vs_noop"] = round(
+            float(df_real["aug_iou"].max() - anchor["aug_iou"]), 4) if len(
+                df_real) else None
     best = df.loc[df["aug_iou"].idxmax()]
     out["best"] = {c: (round(float(best[c]), 4)
                        if isinstance(best[c], (int, float, np.floating))
@@ -125,6 +149,22 @@ def wide_findings(df, label):
                 df["optimizer"])):
             out["finding_adam_family_best"] = bool(
                 not np.isfinite(sgd) or adamish > sgd)
+        if anchor is not None and len(df_real):
+            # No-op trials score the init's IoU regardless of optimizer, so
+            # the real optimizer ordering must exclude them.
+            by = df_real.groupby("optimizer")["aug_iou"].agg(
+                ["mean", "max", "count"])
+            out["by_optimizer_excl_noop"] = {
+                str(k): {"mean": round(float(v["mean"]), 4),
+                         "max": round(float(v["max"]), 4),
+                         "n": int(v["count"])}
+                for k, v in by.iterrows()}
+            a = df_real[df_real["optimizer"].isin(
+                ["adam", "adamax", "adagrad", "adadelta"])]["aug_iou"].max()
+            s = df_real[df_real["optimizer"] == "sgd"]["aug_iou"].max()
+            if np.isfinite(a):
+                out["finding_adam_family_best_excl_noop"] = bool(
+                    not np.isfinite(s) or a > s)
     if "use_BTV" in df:
         by = df.groupby("use_BTV")["aug_iou"].agg(["mean", "max", "count"])
         out["by_use_BTV"] = {
@@ -154,6 +194,12 @@ def main():
     ap.add_argument("--ours_all", required=True,
                     help="sweep_agent CSV for the wide space "
                          "(configs/sweep_configs/sweep_all.yaml)")
+    ap.add_argument("--ours_lambda_std", default=None,
+                    help="optional second sweep.yaml-space CSV measured in "
+                         "the SATURATED regime (easy scenes, standard IoU "
+                         "near the reference's ~0.87 operating point) — "
+                         "tests whether the lambda basin location is "
+                         "calibration-dependent")
     ap.add_argument("--ref_dir", default=REF_DIR)
     ap.add_argument("--out", default="sweep_structural_comparison.json")
     args = ap.parse_args()
@@ -179,7 +225,33 @@ def main():
         ref["all_lambda"] = lambda_findings(df,
                                             "reference: sweep_all λ marginals")
 
+    ours_lambda_std = None
+    if args.ours_lambda_std and os.path.exists(args.ours_lambda_std):
+        ours_lambda_std = lambda_findings(
+            load_csv(args.ours_lambda_std),
+            "ours: saturated regime, sweep.yaml space")
+
     verdicts = {}
+    if ours_lambda_std is not None and "lambda_tv_top_quartile_mean" in (
+            ours_lambda_std) and "lambda_tv_top_quartile_mean" in ours_lambda:
+        # Reconciliation test: the reference's near-zero basin was measured
+        # at a saturated operating point (standard IoU 0.8290 with the
+        # bonlime checkpoint). If our basin also collapses toward zero when
+        # WE move to a saturated operating point, the published finding is
+        # regime-dependent rather than contradicted.
+        hard_tv = ours_lambda["lambda_tv_top_quartile_mean"]
+        std_tv = ours_lambda_std["lambda_tv_top_quartile_mean"]
+        hard_l2 = ours_lambda.get("lambda_L2_top_quartile_mean")
+        std_l2 = ours_lambda_std.get("lambda_L2_top_quartile_mean")
+        verdicts["basin_is_calibration_dependent"] = {
+            "published": ("best lambda_tv=0.35, lambda_L2=0.615 at a "
+                          "saturated operating point (standard 0.8290)"),
+            "hard_regime_top_quartile": {"lambda_tv": hard_tv,
+                                         "lambda_L2": hard_l2},
+            "saturated_regime_top_quartile": {"lambda_tv": std_tv,
+                                              "lambda_L2": std_l2},
+            "basin_moves_toward_published": bool(std_tv < hard_tv),
+        }
     if "finding_l1_hurts" in ours_lambda:
         verdicts["l1_zero_best"] = {
             "published": "best run lambda_L1=0; L1 correlates negatively",
@@ -193,10 +265,18 @@ def main():
             verdicts[key] = {"ours": ours_all.get(src),
                              "reference": ref.get("all", {}).get(src),
                              "reproduced": ours_all.get(src)}
+    if "finding_adam_family_best_excl_noop" in ours_all:
+        # The inclusive check scores no-op trials (weak optimizer => init's
+        # IoU), so the honest optimizer ordering excludes them.
+        v = ours_all["finding_adam_family_best_excl_noop"]
+        verdicts["adam_family_best"]["ours_excl_noop_solves"] = v
+        verdicts["adam_family_best"]["reproduced"] = v
 
     result = {
         "ours": {"lambda_space": ours_lambda, "wide_space": ours_all,
-                 "wide_space_lambda_marginals": ours_all_lambda},
+                 "wide_space_lambda_marginals": ours_all_lambda,
+                 **({"lambda_space_saturated": ours_lambda_std}
+                    if ours_lambda_std is not None else {})},
         "reference_published": ref,
         "published_best_anchor": {
             "lambda_tv": 0.35, "lambda_L2": 0.615, "lambda_L1": 0.0,

@@ -256,3 +256,46 @@ def test_roofline_parses_live_compiled_module():
     assert cls["mxu_flops"] >= 0 and cls["dw_flops"] >= 0
     if cls["n_conv"]:
         assert cls["mxu_flops"] == 2 * (1 * 8 * 8 * 8) * 9 * 4
+
+
+def test_sweep_compare_noop_anchor_detection():
+    """scripts/sweep_compare.py must flag trials whose aug_iou repeats
+    bit-identically (a weak optimizer/lr draw leaves the SR initialization
+    untouched, so the metric is the init's IoU) and recompute the optimizer
+    ordering without them — otherwise 'adadelta wins' would really mean
+    'doing nothing wins'."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sc", os.path.join(root, "scripts", "sweep_compare.py"))
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    noop = 0.794022246748209
+    df = pd.DataFrame({
+        "aug_iou": [noop, noop, noop, 0.789, 0.781, 0.785],
+        "optimizer": ["sgd", "adadelta", "adadelta", "adam", "sgd", "adam"],
+        "copy_dropout": [0.0, 0.1, 0.2, 0.1, 0.0, 0.2],
+        "use_BTV": [False, False, True, False, True, False],
+        "lambda_tv": [0.5] * 6, "lambda_L2": [0.5] * 6,
+        "lambda_L1": [0.5] * 6,
+    })
+    anchor, real = sc.noop_anchor(df)
+    assert anchor["n_trials"] == 3 and abs(anchor["aug_iou"] - 0.794) < 1e-9
+    assert len(real) == 3 and noop not in set(real["aug_iou"])
+
+    out = sc.wide_findings(df, "unit")
+    assert out["noop_anchor"]["n_trials"] == 3
+    # Including no-ops, adadelta 'wins' at the anchor value; excluding them
+    # the real ordering is adam (0.789) > sgd (0.781).
+    assert out["by_optimizer_excl_noop"]["adam"]["max"] == 0.789
+    assert out["finding_adam_family_best_excl_noop"] is True
+
+    # No anchor when every value is distinct.
+    df2 = df.assign(aug_iou=[0.79, 0.791, 0.792, 0.793, 0.794, 0.795])
+    anchor2, real2 = sc.noop_anchor(df2)
+    assert anchor2 is None and len(real2) == 6
