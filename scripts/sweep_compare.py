@@ -112,9 +112,16 @@ def wide_findings(df, label):
     anchor, df_real = noop_anchor(df)
     if anchor is not None:
         out["noop_anchor"] = anchor
-        out["best_real_solve_vs_noop"] = round(
-            float(df_real["aug_iou"].max() - anchor["aug_iou"]), 4) if len(
-                df_real) else None
+        delta = (round(float(df_real["aug_iou"].max() - anchor["aug_iou"]),
+                       4) if len(df_real) else None)
+        out["best_real_solve_vs_noop"] = delta
+        if delta is not None and delta <= 0:
+            out["degenerate_space"] = (
+                "no real solve in this search space beats the no-op "
+                "initialization, so per-knob findings here rank 'which "
+                "configs disturb the init least', not solver quality; the "
+                "regime's true lambda structure is in the lambda-space "
+                "sweep, whose solves DO beat the init")
     best = df.loc[df["aug_iou"].idxmax()]
     out["best"] = {c: (round(float(best[c]), 4)
                        if isinstance(best[c], (int, float, np.floating))
@@ -271,6 +278,11 @@ def main():
         v = ours_all["finding_adam_family_best_excl_noop"]
         verdicts["adam_family_best"]["ours_excl_noop_solves"] = v
         verdicts["adam_family_best"]["reproduced"] = v
+    if "degenerate_space" in ours_all:
+        for key in ("dropout_tolerated", "adam_family_best", "btv_no_win"):
+            if key in verdicts:
+                verdicts[key]["caveat_degenerate_space"] = (
+                    ours_all["degenerate_space"])
 
     result = {
         "ours": {"lambda_space": ours_lambda, "wide_space": ours_all,
