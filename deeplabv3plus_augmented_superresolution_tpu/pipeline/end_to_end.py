@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..models.deeplab import DeepLabConfig, forward
 from ..ops.opm import extract_masks, extract_masks_multiclass, prepare_sr_inputs
 from ..ops.resize import resize
-from ..sr.postprocess import threshold_image
+from ..sr.postprocess import combine_label_map, threshold_image
 from ..sr.solver import (
     SRConfig,
     augmented_superresolution,
@@ -141,7 +141,8 @@ def _map_class_chunks(fn, arrays, n_classes: int, chunk: int):
 @partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "class_ids", "mode",
                                    "th_factor", "global_normalize", "sr_types",
                                    "chunk_size", "class_chunk",
-                                   "return_targets", "return_label_map"))
+                                   "return_targets", "return_label_map",
+                                   "label_map_rule"))
 def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         shifts: jnp.ndarray, model_cfg: DeepLabConfig,
                         sr_cfg: SRConfig, class_ids: Tuple[int, ...],
@@ -153,7 +154,8 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
                         dropout_key: Optional[jax.Array] = None,
                         gram_coeffs: Optional[jnp.ndarray] = None,
                         return_targets: bool = False,
-                        return_label_map: bool = False
+                        return_label_map: bool = False,
+                        label_map_rule: str = "class_peak"
                         ) -> Dict[str, jnp.ndarray]:
     """Full ASR for one image over MANY classes in one program — the
     capability the reference explicitly lacks (single fixed class_id per run,
@@ -279,19 +281,12 @@ def asr_step_multiclass(params, image: jnp.ndarray, angles: jnp.ndarray,
 
     if return_label_map and aug_targets is not None:
         # Full-scene HR segmentation from the per-class SR targets — a
-        # product the reference cannot emit at all (one class per run). Each
-        # class's target is normalized by its own peak (the same scale its
-        # threshold uses, sr/postprocess.py threshold_image), making scores
-        # comparable across classes; a pixel gets the best-scoring class
-        # that clears the threshold, else background (0). Where exactly one
-        # class's thresholded mask fires, the label map agrees with it by
-        # construction (tests/test_multiclass.py).
-        score = aug_targets / jnp.maximum(
-            aug_targets.max(axis=(-3, -2, -1), keepdims=True), 1e-12)
-        best = jnp.argmax(score, axis=0)
-        best_score = jnp.max(score, axis=0)
-        label = jnp.where(best_score > th_factor,
-                          jnp.take(cls, best), 0)
+        # product the reference cannot emit at all (one class per run).
+        # Cross-class score normalization + threshold live in
+        # sr/postprocess.py combine_label_map; rule selection is evidenced
+        # by scripts/label_map_eval.py --rules (see its docstring).
+        label = combine_label_map(aug_targets, cls, th_factor,
+                                  rule=label_map_rule)
         results["label_map"] = label.astype(jnp.float32)
         results["label_map_standard"] = standard.astype(jnp.float32)
     return results

@@ -10,7 +10,8 @@ from .solver import (
     mean_superresolution,
     sr_loss,
 )
-from .postprocess import normalize_coefficients, threshold_image
+from .postprocess import (combine_label_map, normalize_coefficients,
+                          threshold_image)
 from .stencil_cache import load_stencil, save_stencil, stencil_cache_key
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "sr_loss",
     "normalize_coefficients",
     "threshold_image",
+    "combine_label_map",
     "load_stencil",
     "save_stencil",
     "stencil_cache_key",

@@ -25,3 +25,39 @@ def normalize_coefficients(coeff_dict: dict) -> dict:
     """Scale lambda coefficients to sum to one (reference superres_utils.py:142-151)."""
     normalizer = float(np.sum(list(coeff_dict.values())))
     return {k: v / normalizer for k, v in coeff_dict.items()}
+
+
+def combine_label_map(targets: jnp.ndarray, class_ids: jnp.ndarray,
+                      th_factor: float,
+                      rule: str = "class_peak") -> jnp.ndarray:
+    """Combine per-class SR targets (K, H, W, 1) into one full-scene label
+    map (H, W, 1): the best-scoring class above threshold per pixel, else
+    background 0. A product the reference cannot emit at all (one class per
+    staged run, reference README.md:5-6).
+
+    rule selects the cross-class score normalization:
+      * "class_peak": each class normalized by its OWN peak (matches the
+        single-class threshold_image semantics; where exactly one class's
+        thresholded mask fires, the label map agrees with it by
+        construction). Caveat at many classes: an ABSENT class's noise is
+        inflated to peak 1.0 and competes for pixels.
+      * "scene_peak": all classes normalized by the JOINT peak — absent
+        classes stay near zero, present classes keep their relative
+        strength. The threshold is relative to the scene's strongest class.
+      * "raw": no normalization; th_factor is an absolute score floor
+        (argmax-mode SR targets approximate {0,1} masks, so ~0.5 is the
+        natural operating point).
+    """
+    if rule == "class_peak":
+        score = targets / jnp.maximum(
+            targets.max(axis=(-3, -2, -1), keepdims=True), 1e-12)
+    elif rule == "scene_peak":
+        score = targets / jnp.maximum(targets.max(), 1e-12)
+    elif rule == "raw":
+        score = targets
+    else:
+        raise ValueError(f"unknown label_map rule {rule!r}")
+    best = jnp.argmax(score, axis=0)
+    best_score = jnp.max(score, axis=0)
+    return jnp.where(best_score > th_factor,
+                     jnp.take(jnp.asarray(class_ids), best), 0)

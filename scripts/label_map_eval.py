@@ -57,6 +57,17 @@ def main():
     ap.add_argument("--hard", action="store_true",
                     help="hard-scene recipe (data/synthetic.py)")
     ap.add_argument("--seed", type=int, default=4321)
+    ap.add_argument("--rules", nargs="+", default=None,
+                    choices=["class_peak", "scene_peak", "raw"],
+                    help="ALSO score these cross-class combination rules "
+                         "(sr/postprocess.py combine_label_map) from the "
+                         "same per-class SR targets — one TPU pass, one "
+                         "score per rule. At many classes the class_peak "
+                         "rule inflates ABSENT-class noise to peak 1.0; "
+                         "this mode measures how much that costs")
+    ap.add_argument("--raw_th", type=float, default=0.5,
+                    help="absolute score floor for the 'raw' rule "
+                         "(argmax-mode SR targets approximate {0,1} masks)")
     ap.add_argument("--out", default="label_map_eval.json")
     args = ap.parse_args()
 
@@ -125,8 +136,15 @@ def main():
         single_class_iou,
     )
 
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        combine_label_map,
+    )
+
+    cls_arr = jnp.asarray(args.class_ids, jnp.int32)
+
     def evaluate(params, label):
         lm_ious, std_ious = [], []
+        rule_ious = {r: [] for r in (args.rules or [])}
         per_class = {c: {"lm": [], "std": []} for c in args.class_ids}
         t0 = time.time()
         for i, (img, lab) in enumerate(scenes):
@@ -134,11 +152,18 @@ def main():
                 params, jnp.asarray(img), angles, shifts, model_cfg, sr_cfg,
                 class_ids=tuple(args.class_ids), mode="argmax",
                 th_factor=args.th_factor, class_chunk=args.class_chunk,
-                gram_coeffs=gram_coeffs, return_label_map=True)
+                gram_coeffs=gram_coeffs, return_label_map=True,
+                return_targets=bool(args.rules))
             lm = np.asarray(out["label_map"])[..., 0]
             std = np.asarray(out["label_map_standard"])[..., 0]
             lm_ious.append(float(mean_iou(lab, lm)))
             std_ious.append(float(mean_iou(lab, std)))
+            for r in rule_ious:
+                alt = combine_label_map(
+                    out["aug_target"], cls_arr,
+                    args.raw_th if r == "raw" else args.th_factor, rule=r)
+                rule_ious[r].append(
+                    float(mean_iou(lab, np.asarray(alt)[..., 0])))
             for c in args.class_ids:
                 if (lab == c).any():
                     per_class[c]["lm"].append(
@@ -146,9 +171,19 @@ def main():
                     per_class[c]["std"].append(
                         float(single_class_iou(lab, std, c)))
             print(f"[label_map_eval] {label} scene {i}: label_map "
-                  f"{lm_ious[-1]:.4f} standard {std_ious[-1]:.4f}",
+                  f"{lm_ious[-1]:.4f} standard {std_ious[-1]:.4f}"
+                  + "".join(f" {r} {rule_ious[r][-1]:.4f}"
+                            for r in rule_ious),
                   flush=True)
         return {
+            **({"by_rule": {
+                r: {"mean_iou": round(float(np.mean(v)), 4),
+                    "minus_standard": round(
+                        float(np.mean(v)) - float(np.mean(std_ious)), 4),
+                    "win_rate_vs_standard": round(
+                        float(np.mean([a >= b for a, b in
+                                       zip(v, std_ious)])), 3)}
+                for r, v in rule_ious.items()}} if rule_ious else {}),
             "eval_s": round(time.time() - t0, 1),
             "label_map_mean_iou": round(float(np.mean(lm_ious)), 4),
             "label_map_standard_mean_iou": round(
@@ -191,7 +226,8 @@ def main():
         headline = {label: {
             "label_map_mean_iou": b["label_map_mean_iou"],
             "label_map_minus_standard": b["label_map_minus_standard"],
-            "win_rate_vs_standard": b["win_rate_vs_standard"]}
+            "win_rate_vs_standard": b["win_rate_vs_standard"],
+            **({"by_rule": b["by_rule"]} if "by_rule" in b else {})}
             for label, b in blocks.items()}
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2, allow_nan=False)

@@ -216,3 +216,46 @@ def test_class_chunked_with_dropout_keys(setup):
                               class_chunk=2, **kwargs)
     np.testing.assert_allclose(np.asarray(got["aug_target"]),
                                np.asarray(want["aug_target"]), atol=1e-5)
+
+
+def test_combine_label_map_rules():
+    """sr/postprocess.py combine_label_map: the class_peak rule inflates an
+    ABSENT class's noise to peak 1.0 (so it can steal pixels at many
+    classes), while scene_peak and raw keep absent classes near zero.
+    Fabricated 2-class scene: class 5 strong (true peak 0.9), class 7
+    absent (noise peak 0.09)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        combine_label_map,
+    )
+
+    targets = np.zeros((2, 8, 8, 1), np.float32)
+    targets[0, 2:6, 2:6, 0] = 0.9          # class 5: present, strong
+    targets[1, :, :, 0] = 0.08             # class 7: absent, flat noise...
+    targets[1, 0, 0, 0] = 0.09             # ...with a noise peak
+    cls = jnp.asarray([5, 7], jnp.int32)
+
+    # class_peak: class 7's noise normalizes to 1.0 everywhere-ish and
+    # clears th=0.65 across the whole scene, stealing every background
+    # pixel (0.08/0.09 = 0.89 > 0.65).
+    lm = np.asarray(combine_label_map(jnp.asarray(targets), cls, 0.65,
+                                      rule="class_peak"))[..., 0]
+    assert (lm == 7).sum() > 30            # absent class floods the map
+
+    # scene_peak: joint normalization keeps class 7 at 0.09/0.9 = 0.1,
+    # below threshold; class 5's block survives, background stays 0.
+    lm = np.asarray(combine_label_map(jnp.asarray(targets), cls, 0.65,
+                                      rule="scene_peak"))[..., 0]
+    assert (lm == 7).sum() == 0
+    assert (lm[2:6, 2:6] == 5).all() and lm[0, :].sum() == 0
+
+    # raw: absolute floor 0.5 — same outcome here.
+    lm = np.asarray(combine_label_map(jnp.asarray(targets), cls, 0.5,
+                                      rule="raw"))[..., 0]
+    assert (lm == 7).sum() == 0 and (lm[2:6, 2:6] == 5).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        combine_label_map(jnp.asarray(targets), cls, 0.5, rule="bogus")
