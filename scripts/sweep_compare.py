@@ -257,7 +257,14 @@ def main():
                                          "lambda_L2": hard_l2},
             "saturated_regime_top_quartile": {"lambda_tv": std_tv,
                                               "lambda_L2": std_l2},
-            "basin_moves_toward_published": bool(std_tv < hard_tv),
+            # A real reconciliation needs the basin to COLLAPSE into the
+            # published low-lambda half of the grid, not wiggle by a tick.
+            "basin_collapses_at_saturation": bool(std_tv < 2.0),
+            "interpretation": (
+                "collapses => the published near-zero basin is a "
+                "calibration artifact; persists => it reflects the data "
+                "domain (real VOC fine structure penalizes heavy "
+                "smoothing; piecewise-constant synthetic masks do not)"),
         }
     if "finding_l1_hurts" in ours_lambda:
         verdicts["l1_zero_best"] = {
