@@ -29,7 +29,8 @@ def normalize_coefficients(coeff_dict: dict) -> dict:
 
 def combine_label_map(targets: jnp.ndarray, class_ids: jnp.ndarray,
                       th_factor: float,
-                      rule: str = "class_peak") -> jnp.ndarray:
+                      rule: str = "class_peak",
+                      gate_th: float = 0.5) -> jnp.ndarray:
     """Combine per-class SR targets (K, H, W, 1) into one full-scene label
     map (H, W, 1): the best-scoring class above threshold per pixel, else
     background 0. A product the reference cannot emit at all (one class per
@@ -47,6 +48,16 @@ def combine_label_map(targets: jnp.ndarray, class_ids: jnp.ndarray,
       * "raw": no normalization; th_factor is an absolute score floor
         (argmax-mode SR targets approximate {0,1} masks, so ~0.5 is the
         natural operating point).
+      * "gated": class_peak normalization, but a class only participates if
+        its raw peak clears `gate_th` — i.e. the class is detected SOMEWHERE
+        in the scene. Absent classes (noise peak < gate) are zeroed out
+        instead of inflated; present-but-weak classes keep the adaptive
+        per-class scale that makes class_peak win on curated class lists.
+        Measured (scripts/label_map_eval.py --rules, 50 hard scenes each):
+        class_peak wins 2-class matched (+0.55 pt) but loses 20-class
+        (-1.3 pt, absent-class flooding); raw fixes 20-class (-0.1 pt) but
+        loses 2-class (-0.3 pt, fixed floor under-fires weak classes);
+        gated keeps both.
     """
     if rule == "class_peak":
         score = targets / jnp.maximum(
@@ -55,6 +66,10 @@ def combine_label_map(targets: jnp.ndarray, class_ids: jnp.ndarray,
         score = targets / jnp.maximum(targets.max(), 1e-12)
     elif rule == "raw":
         score = targets
+    elif rule == "gated":
+        peak = targets.max(axis=(-3, -2, -1), keepdims=True)
+        present = (peak > gate_th).astype(targets.dtype)
+        score = present * targets / jnp.maximum(peak, 1e-12)
     else:
         raise ValueError(f"unknown label_map rule {rule!r}")
     best = jnp.argmax(score, axis=0)

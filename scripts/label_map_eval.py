@@ -58,7 +58,7 @@ def main():
                     help="hard-scene recipe (data/synthetic.py)")
     ap.add_argument("--seed", type=int, default=4321)
     ap.add_argument("--rules", nargs="+", default=None,
-                    choices=["class_peak", "scene_peak", "raw"],
+                    choices=["class_peak", "scene_peak", "raw", "gated"],
                     help="ALSO score these cross-class combination rules "
                          "(sr/postprocess.py combine_label_map) from the "
                          "same per-class SR targets — one TPU pass, one "

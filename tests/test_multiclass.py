@@ -259,3 +259,31 @@ def test_combine_label_map_rules():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         combine_label_map(jnp.asarray(targets), cls, 0.5, rule="bogus")
+
+
+def test_combine_label_map_gated_rule():
+    """'gated' = class_peak normalization with an absolute presence gate:
+    absent classes (raw peak below gate_th) are zeroed instead of inflated,
+    present-but-weak classes keep the adaptive per-class scale that the
+    fixed-floor 'raw' rule under-fires."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplabv3plus_augmented_superresolution_tpu.sr import (
+        combine_label_map,
+    )
+
+    targets = np.zeros((3, 8, 8, 1), np.float32)
+    targets[0, 2:6, 2:6, 0] = 0.9          # class 5: present, strong
+    targets[1, 0:2, 6:8, 0] = 0.62         # class 6: present, weak (peak .62)
+    targets[2, :, :, 0] = 0.08             # class 7: absent noise
+    targets[2, 0, 0, 0] = 0.09
+    cls = jnp.asarray([5, 6, 7], jnp.int32)
+
+    lm = np.asarray(combine_label_map(jnp.asarray(targets), cls, 0.65,
+                                      rule="gated", gate_th=0.5))[..., 0]
+    assert (lm == 7).sum() == 0            # absent class gated out
+    assert (lm[2:6, 2:6] == 5).all()       # strong class survives
+    # weak present class: its own peak normalizes to 1.0 > th 0.65 — kept
+    # (raw at floor 0.65 would have dropped these 0.62-score pixels).
+    assert (lm[0:2, 6:8] == 6).all()
